@@ -1,0 +1,142 @@
+"""3DGS training CLI (parity with /root/reference/train.py:301-343).
+
+Usage:
+    python -m sixdgs_tpu.apps.train_gs --source_path <scene_dir> [--model_path out]
+        [--eval] [--white_background] [--iterations N] ...
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import time
+import uuid
+
+import numpy as np
+
+from sixdgs_tpu.scene.cameras import camera_list_from_infos, camera_to_json
+from sixdgs_tpu.scene.dataset_loader import get_dataset_prefix, load_data
+from sixdgs_tpu.train.gs_trainer import GSTrainer
+from sixdgs_tpu.utils.config import (
+    ModelConfig,
+    OptimizationConfig,
+    add_dataclass_args,
+    extract_dataclass_args,
+    write_cfg_args,
+)
+from sixdgs_tpu.utils.metrics_writer import MetricsWriter
+
+
+def build_parser():
+    parser = argparse.ArgumentParser(description="sixdgs_tpu 3DGS training")
+    add_dataclass_args(parser, ModelConfig())
+    add_dataclass_args(parser, OptimizationConfig())
+    parser.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--quiet", action="store_true")
+    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--chunk", type=int, default=256)
+    parser.add_argument("--log_every", type=int, default=50)
+    parser.add_argument("--capacity_bucket", type=int, default=16384)
+    parser.add_argument(
+        "--platform", type=str, default=None, choices=["cpu", "tpu", "axon"],
+        help="force a JAX backend (the container pins JAX_PLATFORMS=axon; env "
+        "overrides are captured too early, so this flag goes through jax.config)",
+    )
+    return parser
+
+
+def apply_platform(platform):
+    if platform:
+        import jax
+
+        jax.config.update("jax_platforms", platform)
+
+
+def prepare_output_dir(model_cfg: ModelConfig, scene_info, train_cams) -> str:
+    model_path = model_cfg.model_path
+    if not model_path:
+        unique = str(uuid.uuid4())[:10]
+        prefix = get_dataset_prefix(model_cfg.source_path)
+        scene_name = model_cfg.source_path.rstrip("/").split("/")[-1]
+        model_path = os.path.join("./output/", f"{prefix}_{scene_name}_{unique}")
+    os.makedirs(model_path, exist_ok=True)
+    # persist cfg_args in the reference repr format (train.py:207-208)
+    cfg = {
+        "sh_degree": model_cfg.sh_degree,
+        "source_path": os.path.abspath(model_cfg.source_path),
+        "model_path": model_path,
+        "images": model_cfg.images,
+        "resolution": model_cfg.resolution,
+        "white_background": model_cfg.white_background,
+        "data_device": model_cfg.data_device,
+        "eval": model_cfg.eval,
+        "fps_sampling": model_cfg.fps_sampling,
+    }
+    write_cfg_args(model_path, cfg)
+    # copy input ply + cameras.json like Scene.__init__ (scene/__init__.py:47-78)
+    if scene_info.ply_path and os.path.exists(scene_info.ply_path):
+        shutil.copyfile(scene_info.ply_path, os.path.join(model_path, "input.ply"))
+    cam_json = [camera_to_json(i, c) for i, c in enumerate(train_cams)]
+    with open(os.path.join(model_path, "cameras.json"), "w") as fh:
+        json.dump(cam_json, fh)
+    return model_path
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    apply_platform(args.platform)
+    model_cfg = extract_dataclass_args(args, ModelConfig)
+    model_cfg.source_path = os.path.abspath(model_cfg.source_path)
+    opt_cfg = extract_dataclass_args(args, OptimizationConfig)
+    save_iterations = sorted(set(args.save_iterations + [opt_cfg.iterations]))
+
+    scene_info = load_data(model_cfg)
+    train_cams = camera_list_from_infos(scene_info.train_cameras, model_cfg.resolution)
+    test_cams = camera_list_from_infos(scene_info.test_cameras, model_cfg.resolution)
+    model_path = prepare_output_dir(model_cfg, scene_info, train_cams)
+    print(f"Output folder: {model_path} | {len(train_cams)} train / {len(test_cams)} test cams")
+
+    writer = MetricsWriter(model_path)
+    trainer = GSTrainer(model_cfg, opt_cfg, scene_info, train_cams, test_cams,
+                        seed=args.seed, capacity_bucket=args.capacity_bucket)
+
+    t_start = time.time()
+    last_t = [t_start]
+
+    def callback(it, metrics, tr):
+        now = time.time()
+        writer.scalar("train_loss_patches/total_loss", metrics["loss"], it)
+        writer.scalar("train_loss_patches/l1_loss", metrics["l1"], it)
+        writer.scalar("iter_time", (now - last_t[0]) / args.log_every * 1000, it)
+        writer.scalar("total_points", int(tr.state.scene.num_active()), it)
+        last_t[0] = now
+        if not args.quiet:
+            print(
+                f"[{it}] loss={metrics['loss']:.5f} psnr={metrics['psnr']:.2f} "
+                f"pts={int(tr.state.scene.num_active())}"
+            )
+        if it in args.test_iterations and test_cams:
+            psnr_val, l1_val = tr.eval_psnr()
+            writer.scalar("test/loss_viewpoint - psnr", psnr_val, it)
+            writer.scalar("test/loss_viewpoint - l1_loss", l1_val, it)
+            print(f"\n[ITER {it}] Evaluating test: L1 {l1_val} PSNR {psnr_val}")
+
+    trainer.run(
+        iterations=opt_cfg.iterations,
+        log_every=args.log_every,
+        save_iterations=save_iterations,
+        model_path=model_path,
+        callback=callback,
+        chunk=args.chunk,
+    )
+    writer.close()
+    print(f"\nTraining complete in {time.time() - t_start:.1f}s.")
+    return model_path
+
+
+if __name__ == "__main__":
+    main()

@@ -137,13 +137,14 @@ def read_cameras_from_transforms(path: str, transformsfile: str,
         contents = json.load(fh)
     fovx = contents["camera_angle_x"]
     for idx, frame in enumerate(contents["frames"]):
-        cam_name = os.path.join(path, frame["file_path"] + extension)
+        # single join (the reference double-joins, synthetic.py:22,36, which
+        # only works because it always receives absolute source paths)
+        image_path = os.path.join(path, frame["file_path"] + extension)
         c2w = np.array(frame["transform_matrix"])
         c2w[:3, 1:3] *= -1  # OpenGL/Blender -> COLMAP axes (synthetic.py:27)
         w2c = np.linalg.inv(c2w)
         R = np.transpose(w2c[:3, :3])
         T = w2c[:3, 3]
-        image_path = os.path.join(path, cam_name)
         image = _composite_rgba(_open_image(image_path), white_background)
         fovy = focal2fov(fov2focal(fovx, image.size[0]), image.size[1])
         cam_infos.append(
@@ -155,7 +156,7 @@ def read_cameras_from_transforms(path: str, transformsfile: str,
                 FovX=fovx,
                 image=image,
                 image_path=image_path,
-                image_name=Path(cam_name).stem,
+                image_name=Path(image_path).stem,
                 width=image.size[0],
                 height=image.size[1],
             )

@@ -1,0 +1,353 @@
+"""3DGS training: jitted step + host-event densification.
+
+Loop parity with /root/reference/train.py:29-191: random camera order without
+replacement, L1+DSSIM loss, per-group Adam with scheduled xyz lr, SH degree
+warmup every 1000 iters, densify/prune every 100 in [500, 15000), opacity
+reset every 3000, PLY snapshots.
+
+TPU re-design: the hot step is ONE jitted function over fixed-capacity pytrees
+(state donated, so Adam runs in-place in HBM); densification is a host event
+that repacks arrays into a fresh capacity bucket (recompile only on bucket
+growth); densification statistics are carried inside the jitted state instead
+of torch-side .grad inspection.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+import os
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from flax import struct
+
+from sixdgs_tpu.ops.rasterizer import rasterize_scan
+from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
+from sixdgs_tpu.ops.ssim import dssim_l1_loss, psnr, l1_loss
+from sixdgs_tpu.ops.transforms import build_covariance, inverse_sigmoid
+from sixdgs_tpu.scene.gaussians import (
+    GaussianScene,
+    PARAM_NAMES,
+    from_arrays,
+    round_capacity,
+)
+from sixdgs_tpu.train.optim import AdamState, adam_init, adam_update, expon_lr
+from sixdgs_tpu.train import densify as densify_mod
+from sixdgs_tpu.utils.config import ModelConfig, OptimizationConfig
+
+
+class CameraArrays(NamedTuple):
+    view: jnp.ndarray  # [4, 4]
+    full_proj: jnp.ndarray  # [4, 4]
+    camera_center: jnp.ndarray  # [3]
+    tan_fovx: jnp.ndarray  # scalar
+    tan_fovy: jnp.ndarray  # scalar
+    gt_image: jnp.ndarray  # [3, H, W]
+
+
+def camera_arrays(cam) -> CameraArrays:
+    return CameraArrays(
+        view=jnp.asarray(cam.view),
+        full_proj=jnp.asarray(cam.full_proj),
+        camera_center=jnp.asarray(cam.camera_center),
+        tan_fovx=jnp.asarray(math.tan(cam.FoVx * 0.5), jnp.float32),
+        tan_fovy=jnp.asarray(math.tan(cam.FoVy * 0.5), jnp.float32),
+        gt_image=jnp.asarray(cam.image),
+    )
+
+
+@struct.dataclass
+class GSTrainState:
+    scene: GaussianScene
+    adam: AdamState
+    xyz_grad_accum: jnp.ndarray  # [C]
+    denom: jnp.ndarray  # [C]
+    max_radii2d: jnp.ndarray  # [C]
+
+
+def init_train_state(scene: GaussianScene) -> GSTrainState:
+    cap = scene.capacity
+    return GSTrainState(
+        scene=scene,
+        adam=adam_init(scene.params()),
+        xyz_grad_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        max_radii2d=jnp.zeros(cap, jnp.int32),
+    )
+
+
+def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
+                   bg, means2d_offset, chunk):
+    scaling = jnp.exp(params["scaling"])
+    cov3d = build_covariance(scaling, params["rotation"])
+    opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
+    sh = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
+    proj = project_gaussians(
+        params["xyz"], cov3d, opacity,
+        cam.view, cam.full_proj, cam.camera_center,
+        width, height, cam.tan_fovx, cam.tan_fovy,
+        sh=sh, sh_degree=sh_degree, active=active,
+    )
+    proj = proj._replace(means2d=proj.means2d + means2d_offset)
+    img = rasterize_scan(proj, width, height, bg, chunk=chunk)
+    return img, proj
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("width", "height", "sh_degree", "chunk", "lambda_dssim"),
+    donate_argnames=("state",),
+)
+def train_step(
+    state: GSTrainState,
+    cam: CameraArrays,
+    bg: jnp.ndarray,
+    lrs: Dict[str, jnp.ndarray],
+    *,
+    width: int,
+    height: int,
+    sh_degree: int,
+    chunk: int = 256,
+    lambda_dssim: float = 0.2,
+):
+    """One training iteration (render + loss + backward + Adam + densify stats)."""
+    active = state.scene.active
+    params = state.scene.params()
+    zeros2d = jnp.zeros((state.scene.capacity, 2))
+
+    def loss_fn(params, means2d_offset):
+        img, proj = _render_params(
+            params, active, cam, width, height, sh_degree, bg, means2d_offset, chunk
+        )
+        loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
+        return loss, (ll1, proj.radii, img)
+
+    (loss, (ll1, radii, img)), (grads, g2d) = jax.value_and_grad(
+        loss_fn, argnums=(0, 1), has_aux=True
+    )(params, zeros2d)
+
+    new_params, new_adam = adam_update(params, grads, state.adam, lrs)
+    new_scene = state.scene.with_params(new_params)
+
+    # densification stats (train.py:153-161): norm of the screen-space position
+    # gradient in NDC units (grad_pix * 0.5*size), accumulated over visible.
+    visible = radii > 0
+    g_ndc = g2d * jnp.asarray([[0.5 * width, 0.5 * height]])
+    gnorm = jnp.linalg.norm(g_ndc, axis=-1)
+    new_state = GSTrainState(
+        scene=new_scene,
+        adam=new_adam,
+        xyz_grad_accum=state.xyz_grad_accum + jnp.where(visible, gnorm, 0.0),
+        denom=state.denom + visible.astype(state.denom.dtype),
+        max_radii2d=jnp.maximum(state.max_radii2d, radii),
+    )
+    metrics = {"loss": loss, "l1": ll1, "psnr": psnr(jnp.clip(img, 0, 1),
+                                                     jnp.clip(cam.gt_image, 0, 1))}
+    return new_state, metrics
+
+
+@functools.partial(jax.jit, donate_argnames=("state",))
+def reset_opacity(state: GSTrainState) -> GSTrainState:
+    """Clamp opacities to <= 0.01 and zero the opacity Adam state
+    (gaussian_model.py:335-340 + replace_tensor_to_optimizer)."""
+    scene = state.scene
+    op = jax.nn.sigmoid(scene.opacity)
+    new_raw = inverse_sigmoid(jnp.minimum(op, 0.01))
+    new_raw = jnp.where(scene.active[:, None], new_raw, scene.opacity)
+    params = scene.params()
+    params["opacity"] = new_raw
+    m = dict(state.adam.m)
+    v = dict(state.adam.v)
+    m["opacity"] = jnp.zeros_like(m["opacity"])
+    v["opacity"] = jnp.zeros_like(v["opacity"])
+    return GSTrainState(
+        scene=scene.with_params(params),
+        adam=AdamState(m=m, v=v, step=state.adam.step),
+        xyz_grad_accum=state.xyz_grad_accum,
+        denom=state.denom,
+        max_radii2d=state.max_radii2d,
+    )
+
+
+def densify_event(
+    state: GSTrainState,
+    *,
+    max_grad: float,
+    min_opacity: float,
+    extent: float,
+    max_screen_size: Optional[int],
+    percent_dense: float,
+    rng: np.random.Generator,
+    capacity_bucket: int = 16384,
+) -> GSTrainState:
+    """Host-side densify/prune; repacks into a (possibly new) capacity bucket."""
+    scene = state.scene
+    n = int(np.asarray(scene.num_active()))
+    mask = np.asarray(scene.active)
+    params = {k: np.asarray(getattr(scene, k))[mask] for k in PARAM_NAMES}
+    m = {k: np.asarray(state.adam.m[k])[mask] for k in PARAM_NAMES}
+    v = {k: np.asarray(state.adam.v[k])[mask] for k in PARAM_NAMES}
+    accum = np.asarray(state.xyz_grad_accum)[mask]
+    denom = np.asarray(state.denom)[mask]
+    max_radii = np.asarray(state.max_radii2d)[mask].astype(np.float64)
+    with np.errstate(divide="ignore", invalid="ignore"):
+        grads = np.nan_to_num(accum / denom, nan=0.0)
+
+    params, m, v, max_radii = densify_mod.densify_and_prune(
+        params, m, v, grads, max_radii,
+        max_grad=max_grad, min_opacity=min_opacity, extent=extent,
+        max_screen_size=max_screen_size, percent_dense=percent_dense, rng=rng,
+    )
+    n_new = params["xyz"].shape[0]
+    cap = round_capacity(n_new, capacity_bucket)
+    new_scene = from_arrays(params, scene.max_sh_degree, capacity=cap)
+
+    def pad_state(d):
+        out = {}
+        for k, arr in d.items():
+            buf = np.zeros((cap,) + arr.shape[1:], np.float32)
+            buf[:n_new] = arr
+            out[k] = jnp.asarray(buf)
+        return out
+
+    # densification_postfix resets stats (gaussian_model.py:535-537); reference
+    # keeps max_radii2D through clone/split via prune gathers, then train.py
+    # refreshes it from fresh renders — we keep the pruned values.
+    radii_buf = np.zeros(cap, np.int32)
+    radii_buf[:n_new] = max_radii[:n_new].astype(np.int32)
+    return GSTrainState(
+        scene=new_scene,
+        adam=AdamState(m=pad_state(m), v=pad_state(v), step=state.adam.step),
+        xyz_grad_accum=jnp.zeros(cap),
+        denom=jnp.zeros(cap),
+        max_radii2d=jnp.asarray(radii_buf),
+    )
+
+
+def xyz_lr(opt: OptimizationConfig, spatial_lr_scale: float, step: int) -> float:
+    return expon_lr(
+        step,
+        opt.position_lr_init * spatial_lr_scale,
+        opt.position_lr_final * spatial_lr_scale,
+        lr_delay_mult=opt.position_lr_delay_mult,
+        max_steps=opt.position_lr_max_steps,
+    )
+
+
+def lr_dict(opt: OptimizationConfig, spatial_lr_scale: float, step: int):
+    return {
+        "xyz": jnp.asarray(xyz_lr(opt, spatial_lr_scale, step), jnp.float32),
+        "features_dc": jnp.asarray(opt.feature_lr, jnp.float32),
+        "features_rest": jnp.asarray(opt.feature_lr / 20.0, jnp.float32),
+        "opacity": jnp.asarray(opt.opacity_lr, jnp.float32),
+        "scaling": jnp.asarray(opt.scaling_lr, jnp.float32),
+        "rotation": jnp.asarray(opt.rotation_lr, jnp.float32),
+    }
+
+
+def render_eval(scene: GaussianScene, cam, bg: jnp.ndarray, sh_degree: int,
+                chunk: int = 256) -> jnp.ndarray:
+    """Inference render of a host Camera (for eval loops)."""
+    ca = camera_arrays(cam)
+    img, _ = _render_params(
+        scene.params(), scene.active, ca, cam.width, cam.height, sh_degree, bg,
+        jnp.zeros((scene.capacity, 2)), chunk,
+    )
+    return img
+
+
+class GSTrainer:
+    """Orchestrates the training loop (host side)."""
+
+    def __init__(self, model_cfg: ModelConfig, opt_cfg: OptimizationConfig,
+                 scene_info, train_cams, test_cams, seed: int = 0,
+                 capacity_bucket: int = 16384):
+        from sixdgs_tpu.scene.gaussians import create_from_pcd
+
+        self.model_cfg = model_cfg
+        self.opt = opt_cfg
+        self.scene_info = scene_info
+        self.train_cams = train_cams
+        self.test_cams = test_cams
+        self.capacity_bucket = capacity_bucket
+        self.spatial_lr_scale = float(scene_info.nerf_normalization["radius"])
+        self.cameras_extent = self.spatial_lr_scale
+        n_pts = scene_info.point_cloud.points.shape[0]
+        scene = create_from_pcd(
+            scene_info.point_cloud, model_cfg.sh_degree,
+            capacity=round_capacity(n_pts, capacity_bucket),
+        )
+        self.state = init_train_state(scene)
+        self.rng = np.random.default_rng(seed)
+        self.active_sh_degree = 0
+        self.bg = jnp.asarray(
+            [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
+        )
+        self._viewpoint_stack = []
+
+    def _next_camera(self):
+        if not self._viewpoint_stack:
+            self._viewpoint_stack = list(self.train_cams)
+        idx = self.rng.integers(len(self._viewpoint_stack))
+        return self._viewpoint_stack.pop(int(idx))
+
+    def run(self, iterations: Optional[int] = None, log_every: int = 50,
+            save_iterations=(), model_path: Optional[str] = None,
+            callback=None, chunk: int = 256):
+        opt = self.opt
+        iterations = iterations or opt.iterations
+        for it in range(1, iterations + 1):
+            if it % 1000 == 0 and self.active_sh_degree < self.state.scene.max_sh_degree:
+                self.active_sh_degree += 1
+            cam = self._next_camera()
+            lrs = lr_dict(opt, self.spatial_lr_scale, it)
+            self.state, metrics = train_step(
+                self.state,
+                camera_arrays(cam),
+                self.bg,
+                lrs,
+                width=cam.width,
+                height=cam.height,
+                sh_degree=self.active_sh_degree,
+                chunk=chunk,
+                lambda_dssim=opt.lambda_dssim,
+            )
+            if callback is not None and (it % log_every == 0 or it == iterations):
+                callback(it, jax.device_get(metrics), self)
+            if it < opt.densify_until_iter:
+                if it > opt.densify_from_iter and it % opt.densification_interval == 0:
+                    size_threshold = 20 if it > opt.opacity_reset_interval else None
+                    self.state = densify_event(
+                        self.state,
+                        max_grad=opt.densify_grad_threshold,
+                        min_opacity=0.005,
+                        extent=self.cameras_extent,
+                        max_screen_size=size_threshold,
+                        percent_dense=opt.percent_dense,
+                        rng=self.rng,
+                        capacity_bucket=self.capacity_bucket,
+                    )
+                if it % opt.opacity_reset_interval == 0 or (
+                    self.model_cfg.white_background and it == opt.densify_from_iter
+                ):
+                    self.state = reset_opacity(self.state)
+            if it in save_iterations and model_path:
+                path = os.path.join(
+                    model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
+                )
+                self.state.scene.save_ply(path)
+        return self.state
+
+    def eval_psnr(self, cams=None, chunk: int = 256):
+        cams = cams if cams is not None else self.test_cams
+        vals, l1s = [], []
+        for cam in cams:
+            img = render_eval(self.state.scene, cam, self.bg, self.active_sh_degree, chunk)
+            img = jnp.clip(img, 0.0, 1.0)
+            gt = jnp.clip(jnp.asarray(cam.image), 0.0, 1.0)
+            vals.append(float(psnr(img, gt)))
+            l1s.append(float(l1_loss(img, gt)))
+        return float(np.mean(vals)), float(np.mean(l1s))
