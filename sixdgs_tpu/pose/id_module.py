@@ -1,0 +1,57 @@
+"""Identification module: compose backbone + ray MLP + attention + up head.
+
+Functional counterpart of /root/reference/pose_estimation/identification_module.py:
+``run_attention`` (:77-92) -> score_image; ``test_image`` (:117-133) ->
+score_image + top-k in the solver.
+
+The reference shuffles rays with randperm per forward (:103-107); with the
+full softmax over all rays the permutation changes only the ordering, and
+both prediction and loss target are permuted consistently, so scores are
+permutation-equivariant — we skip the shuffle (the ray subsampling path it
+enables, rays_to_test != -1, is unused in the reference's main flow).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from sixdgs_tpu.pose.backbone import backbone_features
+from sixdgs_tpu.pose.modules import attention_scores, cam_up_apply, ray_mlp_apply
+from sixdgs_tpu.rays.engine import Rays
+
+
+class ScoreOutput(NamedTuple):
+    scores: jnp.ndarray  # [N_rays] per-ray score (sum over masked patches)
+    attention: jnp.ndarray  # [256, N_rays]
+    patch_mask: jnp.ndarray  # [256] bool
+    cam_up: jnp.ndarray  # [3] unit predicted camera up
+    n_patches: jnp.ndarray  # scalar: number of masked patches
+
+
+def score_image(dino_params, id_params, img, mask, rays: Rays) -> ScoreOutput:
+    """Score every ray against one image.
+
+    Args:
+        dino_params: frozen DINOv2 params.
+        id_params: dict(ray_mlp, attention, cam_up).
+        img: [H, W, 3] float in [0, 1].
+        mask: [H, W] foreground mask.
+        rays: Rays pytree (padded; rays.valid excludes padding).
+    """
+    feats_pe, patch_mask, fmap = backbone_features(dino_params, img, mask)
+    ray_feats = ray_mlp_apply(id_params["ray_mlp"], rays.ori, rays.dir, rays.rgb)
+    attn = attention_scores(id_params["attention"], feats_pe, ray_feats, rays.valid)
+    # per-ray score = sum over *masked* patches (identification_module.py:82;
+    # the reference gathers masked rows before attention, we mask the sum)
+    scores = jnp.sum(attn * patch_mask[:, None], axis=0)
+    cam_up = cam_up_apply(id_params["cam_up"], fmap)
+    cam_up = cam_up / jnp.maximum(jnp.linalg.norm(cam_up), 1e-12)
+    return ScoreOutput(
+        scores=scores,
+        attention=attn,
+        patch_mask=patch_mask,
+        cam_up=cam_up,
+        n_patches=jnp.sum(patch_mask.astype(jnp.int32)),
+    )

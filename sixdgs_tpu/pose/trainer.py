@@ -1,0 +1,186 @@
+"""ID-module training.
+
+Parity with /root/reference/pose_estimation/train.py:16-317: 1500 iterations,
+32 images per step, Adafactor with HF default hyperparameters (relative step
+sizes min(1e-2, 1/sqrt(t)), parameter-scale multiplication), rays regenerated
+every 10 iterations, distance-based score loss + 0.1 * camera-up cosine loss,
+NaN steps skipped, frozen DINO backbone.
+
+TPU re-design: the reference's sequential gradient-accumulation loop of 32
+single-image forward/backward passes becomes ONE jitted step over an image
+batch axis (vmapped model + mean loss == mean of per-image gradients), which
+is also the data-parallel axis for multi-chip sharding (parallel/pose_sharding).
+"""
+
+from __future__ import annotations
+
+import functools
+import time
+from typing import Dict, NamedTuple, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import optax
+
+from sixdgs_tpu.pose.id_module import score_image
+from sixdgs_tpu.pose.loss import cam_up_loss, distance_score_loss
+from sixdgs_tpu.rays.engine import Rays
+from sixdgs_tpu.utils.config import PoseEstimationConfig
+
+
+class PoseBatch(NamedTuple):
+    images: jnp.ndarray  # [B, H, W, 3] float in [0,1]
+    masks: jnp.ndarray  # [B, H, W] bool
+    c2w: jnp.ndarray  # [B, 4, 4]
+
+
+def make_adafactor() -> optax.GradientTransformation:
+    """HF-default Adafactor (transformers.optimization.Adafactor with lr=None):
+    relative step min(1e-2, 1/sqrt(t)), scale_parameter=True, no momentum."""
+    schedule = lambda step: jnp.minimum(1e-2, 1.0 / jnp.sqrt(step.astype(jnp.float32) + 1.0))
+    return optax.adafactor(
+        learning_rate=schedule,
+        multiply_by_parameter_scale=True,
+        clipping_threshold=1.0,
+        decay_rate=0.8,
+        eps=1e-30,
+    )
+
+
+def batch_loss(id_params, dino_params, batch: PoseBatch, rays: Rays,
+               model_up: jnp.ndarray):
+    """Mean loss over the image batch, NaN-skipping like train.py:176-177."""
+
+    def per_image(img, mask, c2w):
+        out = score_image(dino_params, id_params, img, mask, rays)
+        loss_score, target = distance_score_loss(
+            out.scores, c2w, rays.ori, rays.dir, rays.valid, out.n_patches
+        )
+        up = cam_up_loss(model_up, out.cam_up)
+        return loss_score + 0.1 * up, (loss_score, up)
+
+    losses, (score_losses, up_losses) = jax.vmap(
+        per_image, in_axes=(0, 0, 0)
+    )(batch.images, batch.masks, batch.c2w)
+    ok = jnp.isfinite(losses)
+    n_ok = jnp.maximum(jnp.sum(ok.astype(losses.dtype)), 1.0)
+    total = jnp.sum(jnp.where(ok, losses, 0.0)) / n_ok
+    aux = {
+        "loss": total,
+        "loss_score": jnp.sum(jnp.where(ok, score_losses, 0.0)) / n_ok,
+        "cam_up": jnp.sum(jnp.where(ok, up_losses, 0.0)) / n_ok,
+        "n_nan": jnp.sum((~ok).astype(jnp.int32)),
+    }
+    return total, aux
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer",), donate_argnames=("id_params", "opt_state"))
+def pose_train_step(id_params, opt_state, dino_params, batch: PoseBatch,
+                    rays: Rays, model_up: jnp.ndarray, *, optimizer):
+    (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+        id_params, dino_params, batch, rays, model_up
+    )
+    # zero NaN/inf gradients (a NaN image is skipped by the masked mean; this
+    # guards pathological batches entirely NaN)
+    grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+    updates, opt_state = optimizer.update(grads, opt_state, id_params)
+    id_params = optax.apply_updates(id_params, updates)
+    return id_params, opt_state, aux
+
+
+def model_up_from_cameras(cam_infos) -> np.ndarray:
+    """Mean of train-camera R[:, 1] (pretrain_eval_attention.py:91-98)."""
+    ups = np.asarray([c.R[:3, 1] for c in cam_infos], np.float32)
+    return ups.mean(axis=0)
+
+
+def prepare_image_mask(cam_info, target_hw=None):
+    """Image (alpha-composited to white if RGBA) + mask (alpha > 0.3 or full)
+    (pose_estimation/train.py:108-121)."""
+    arr = cam_info.image_array().astype(np.float32) / 255.0
+    if arr.ndim == 3 and arr.shape[-1] == 4:
+        mask = arr[..., -1] > 0.3
+        img = arr[..., :3] * arr[..., -1:] + (1.0 - arr[..., -1:])
+    else:
+        img = arr[..., :3] if arr.ndim == 3 else np.repeat(arr[..., None], 3, -1)
+        mask = np.ones(img.shape[:2], bool)
+    return img.astype(np.float32), mask
+
+
+class PoseTrainer:
+    """Host orchestration of id-module training."""
+
+    def __init__(self, dino_params, id_params, scene, train_cam_infos,
+                 cfg: Optional[PoseEstimationConfig] = None, seed: int = 55176280):
+        self.cfg = cfg or PoseEstimationConfig()
+        self.dino_params = dino_params
+        # own a copy: pose_train_step donates id_params buffers, which would
+        # invalidate the caller's arrays
+        self.id_params = jax.tree.map(jnp.array, id_params)
+        id_params = self.id_params
+        self.scene = scene
+        self.train_cam_infos = train_cam_infos
+        self.optimizer = make_adafactor()
+        self.opt_state = self.optimizer.init(id_params)
+        self.rng = np.random.default_rng(seed)
+        self.key = jax.random.key(seed)
+        self.model_up = jnp.asarray(model_up_from_cameras(train_cam_infos))
+        self.rays: Optional[Rays] = None
+        # host-side cache of composited images/masks
+        self._img_cache = [prepare_image_mask(c) for c in train_cam_infos]
+
+    def _regen_rays(self):
+        from sixdgs_tpu.rays.engine import generate_rays_from_scene
+
+        self.key, sub = jax.random.split(self.key)
+        self.rays = generate_rays_from_scene(self.scene, sub, self.cfg)
+
+    def _sample_batch(self) -> PoseBatch:
+        B = self.cfg.gradient_accumulation_steps
+        idx = self.rng.integers(0, len(self.train_cam_infos), size=B)
+        imgs = np.stack([self._img_cache[i][0] for i in idx])
+        masks = np.stack([self._img_cache[i][1] for i in idx])
+        c2ws = np.stack([self.train_cam_infos[i].c2w() for i in idx])
+        return PoseBatch(
+            images=jnp.asarray(imgs), masks=jnp.asarray(masks), c2w=jnp.asarray(c2ws)
+        )
+
+    def run(self, n_iterations: Optional[int] = None, start_iteration: int = 0,
+            callback=None, log_every: int = 20):
+        cfg = self.cfg
+        n_iterations = n_iterations if n_iterations is not None else cfg.n_iterations
+        running = 0.0
+        for it in range(start_iteration, n_iterations):
+            if it % cfg.renewal_every_n_iterations == 0 or self.rays is None:
+                self._regen_rays()
+            batch = self._sample_batch()
+            self.id_params, self.opt_state, aux = pose_train_step(
+                self.id_params, self.opt_state, self.dino_params, batch,
+                self.rays, self.model_up, optimizer=self.optimizer,
+            )
+            running += float(aux["loss"])
+            if callback is not None and (it % log_every == log_every - 1):
+                callback(it, jax.device_get(aux), self)
+        return self.id_params
+
+    def save_checkpoint(self, path: str, epoch: int) -> None:
+        """npz checkpoint {epoch, id_params} (id_module.th analogue)."""
+        flat = {}
+        leaves = jax.tree_util.tree_flatten_with_path(self.id_params)[0]
+        for keypath, leaf in leaves:
+            name = "/".join(str(k.key if hasattr(k, "key") else k.idx) for k in keypath)
+            flat["param:" + name] = np.asarray(leaf)
+        flat["epoch"] = np.asarray(epoch)
+        np.savez(path, **flat)
+
+    @staticmethod
+    def load_checkpoint(path: str, template_params):
+        data = np.load(path)
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template_params)
+        new_leaves = []
+        for keypath, leaf in leaves:
+            name = "/".join(str(k.key if hasattr(k, "key") else k.idx) for k in keypath)
+            new_leaves.append(jnp.asarray(data["param:" + name]))
+        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        return params, int(data["epoch"])

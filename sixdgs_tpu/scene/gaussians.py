@@ -149,6 +149,8 @@ def from_arrays(
     """Build a padded scene from host arrays of live Gaussians."""
     n = arrays["xyz"].shape[0]
     cap = capacity or round_capacity(n)
+    if cap < n:
+        raise ValueError(f"capacity {cap} < number of gaussians {n}")
     active = np.zeros(cap, bool)
     active[:n] = True
     padded = {name: _pad(np.asarray(arrays[name], np.float32), cap) for name in PARAM_NAMES}
