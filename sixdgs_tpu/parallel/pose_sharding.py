@@ -1,0 +1,134 @@
+"""Sharded pose training step: DP over images x SP over rays.
+
+Sharding layout (scaling-book style: annotate in/out shardings, let XLA insert
+the collectives over ICI):
+
+  * batch images/masks/c2w: sharded on mesh axis "data" (batch dim),
+  * rays (ori/dir/rgb/valid/gaussian_idx): sharded on "rays" (ray dim) — the
+    ray-MLP rows and the [256, N_rays] attention logits are computed on the
+    owning shard; the softmax over the ray axis and the per-ray score
+    normalization cross shards via XLA-inserted all-reduces (ring on ICI),
+  * id-module / DINO params and optimizer state: replicated; the gradient
+    mean over the data axis becomes a psum at the reduction XLA already emits.
+
+The same jitted step runs single-chip when the mesh has one device.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import optax
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from sixdgs_tpu.pose.trainer import PoseBatch, batch_loss
+from sixdgs_tpu.rays.engine import Rays
+
+
+def pose_shardings(mesh: Mesh):
+    """(batch_sharding, rays_sharding, replicated) NamedSharding pytrees."""
+    batch = PoseBatch(
+        images=NamedSharding(mesh, P("data", None, None, None)),
+        masks=NamedSharding(mesh, P("data", None, None)),
+        c2w=NamedSharding(mesh, P("data", None, None)),
+    )
+    rays = Rays(
+        ori=NamedSharding(mesh, P("rays", None)),
+        dir=NamedSharding(mesh, P("rays", None)),
+        rgb=NamedSharding(mesh, P("rays", None)),
+        valid=NamedSharding(mesh, P("rays")),
+        gaussian_idx=NamedSharding(mesh, P("rays")),
+    )
+    replicated = NamedSharding(mesh, P())
+    return batch, rays, replicated
+
+
+def shard_pose_inputs(mesh: Mesh, batch: PoseBatch, rays: Rays):
+    """Place host arrays onto the mesh with the training layout."""
+    bs, rs, _ = pose_shardings(mesh)
+    batch = jax.tree.map(jax.device_put, batch, bs)
+    rays = jax.tree.map(jax.device_put, rays, rs)
+    return batch, rays
+
+
+def make_sharded_pose_step(mesh: Mesh, optimizer: optax.GradientTransformation):
+    """Build the jitted multi-chip train step.
+
+    Returns step(id_params, opt_state, dino_params, batch, rays, model_up)
+    -> (id_params, opt_state, aux).
+    """
+    batch_s, rays_s, rep = pose_shardings(mesh)
+    rep_tree = lambda tree: jax.tree.map(lambda _: rep, tree)
+
+    def step(id_params, opt_state, dino_params, batch, rays, model_up):
+        (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
+            id_params, dino_params, batch, rays, model_up
+        )
+        grads = jax.tree.map(lambda g: jax.numpy.where(jax.numpy.isfinite(g), g, 0.0), grads)
+        updates, opt_state = optimizer.update(grads, opt_state, id_params)
+        id_params = optax.apply_updates(id_params, updates)
+        return id_params, opt_state, aux
+
+    def jitted(id_params, opt_state, dino_params, batch, rays, model_up):
+        fn = jax.jit(
+            step,
+            in_shardings=(
+                rep_tree(id_params),
+                rep_tree(opt_state),
+                rep_tree(dino_params),
+                batch_s,
+                rays_s,
+                rep,
+            ),
+            out_shardings=(rep_tree(id_params), rep_tree(opt_state), rep_tree_aux()),
+            donate_argnums=(0, 1),
+        )
+        return fn(id_params, opt_state, dino_params, batch, rays, model_up)
+
+    def rep_tree_aux():
+        return {"loss": rep, "loss_score": rep, "cam_up": rep, "n_nan": rep}
+
+    return jitted
+
+
+# --------------------------------------------------- sharded 3DGS rendering
+
+
+def make_sharded_render(mesh: Mesh, width: int, height: int, sh_degree: int,
+                        chunk: int = 256):
+    """Gaussian-parallel projection + pixel-parallel compositing.
+
+    Scene arrays are sharded over the "gaussians" axis for projection; the
+    projected per-Gaussian records are all-gathered (small) and each device
+    composites its slice of image rows — the TPU analogue of the CUDA tile
+    rasterizer's block scheduling, with XLA emitting the gather on ICI.
+    """
+    from sixdgs_tpu.train.gs_trainer import CameraArrays, _render_params
+
+    gax = mesh.axis_names[0]
+    scene_sharding = {
+        "xyz": NamedSharding(mesh, P(gax, None)),
+        "features_dc": NamedSharding(mesh, P(gax, None, None)),
+        "features_rest": NamedSharding(mesh, P(gax, None, None)),
+        "opacity": NamedSharding(mesh, P(gax, None)),
+        "scaling": NamedSharding(mesh, P(gax, None)),
+        "rotation": NamedSharding(mesh, P(gax, None)),
+    }
+    active_sharding = NamedSharding(mesh, P(gax))
+    out_sharding = NamedSharding(mesh, P(None, gax, None))  # rows sharded
+
+    @functools.partial(
+        jax.jit,
+        in_shardings=(scene_sharding, active_sharding, None, None),
+        out_shardings=out_sharding,
+    )
+    def render(params, active, cam: CameraArrays, bg):
+        img, _ = _render_params(
+            params, active, cam, width, height, sh_degree, bg,
+            jax.numpy.zeros((params["xyz"].shape[0], 2)), chunk,
+        )
+        return img
+
+    return render

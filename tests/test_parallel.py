@@ -1,0 +1,136 @@
+"""Multi-device sharding tests on the virtual 8-device CPU mesh."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from sixdgs_tpu.parallel.mesh import make_mesh
+from sixdgs_tpu.parallel.pose_sharding import (
+    make_sharded_pose_step,
+    make_sharded_render,
+    shard_pose_inputs,
+)
+from sixdgs_tpu.pose import dino
+from sixdgs_tpu.pose.modules import init_id_module
+from sixdgs_tpu.pose.trainer import PoseBatch, make_adafactor, pose_train_step
+from sixdgs_tpu.rays.engine import Rays
+
+
+def make_inputs(B=4, N=1024, H=56, W=56, seed=0):
+    rng = np.random.default_rng(seed)
+    images = rng.uniform(size=(B, H, W, 3)).astype(np.float32)
+    masks = np.ones((B, H, W), bool)
+    c2ws = []
+    for _ in range(B):
+        pos = rng.normal(size=3) * 2
+        z = -pos / np.linalg.norm(pos)
+        x = np.cross([0, 1, 0], z)
+        x /= np.linalg.norm(x)
+        y = np.cross(z, x)
+        m = np.eye(4, dtype=np.float32)
+        m[:3, 0], m[:3, 1], m[:3, 2], m[:3, 3] = x, y, z, pos
+        c2ws.append(m)
+    batch = PoseBatch(
+        images=jnp.asarray(images), masks=jnp.asarray(masks),
+        c2w=jnp.asarray(np.stack(c2ws)),
+    )
+    ori = rng.normal(size=(N, 3)).astype(np.float32)
+    d = rng.normal(size=(N, 3)).astype(np.float32)
+    d /= np.linalg.norm(d, axis=-1, keepdims=True)
+    valid = np.ones(N, bool)
+    valid[N - 100 :] = False
+    rays = Rays(
+        ori=jnp.asarray(ori), dir=jnp.asarray(d),
+        rgb=jnp.asarray(rng.uniform(size=(N, 3)).astype(np.float32)),
+        valid=jnp.asarray(valid),
+        gaussian_idx=jnp.zeros(N, jnp.int32),
+    )
+    return batch, rays
+
+
+class TestMesh:
+    def test_mesh_shapes(self):
+        mesh = make_mesh(8)
+        assert mesh.devices.size == 8
+        assert mesh.axis_names == ("data", "rays")
+        assert mesh.devices.shape in [(2, 4), (4, 2)]
+        mesh1 = make_mesh(8, axis_names=("gaussians",))
+        assert mesh1.devices.shape == (8,)
+
+
+class TestShardedPoseStep:
+    def test_matches_single_device(self):
+        """The sharded step must produce the same updated params as the
+        single-device step."""
+        mesh = make_mesh(8)
+        dparams = dino.init_params(jax.random.key(0), embed_dim=64, depth=1)
+        iparams = init_id_module(jax.random.key(1), feature_dim=64)
+        batch, rays = make_inputs()
+        model_up = jnp.asarray([0.0, 1.0, 0.0])
+        opt = make_adafactor()
+
+        # single device
+        p1 = jax.tree.map(jnp.array, iparams)
+        s1 = opt.init(p1)
+        p1, s1, aux1 = pose_train_step(
+            p1, s1, dparams, batch, rays, model_up, optimizer=opt
+        )
+
+        # sharded
+        p2 = jax.tree.map(jnp.array, iparams)
+        s2 = opt.init(p2)
+        step = make_sharded_pose_step(mesh, opt)
+        sb, sr = shard_pose_inputs(mesh, batch, rays)
+        p2, s2, aux2 = step(p2, s2, dparams, sb, sr, model_up)
+
+        np.testing.assert_allclose(float(aux1["loss"]), float(aux2["loss"]), rtol=2e-4)
+        leaves1 = jax.tree.leaves(p1)
+        leaves2 = jax.tree.leaves(p2)
+        for a, b in zip(leaves1, leaves2):
+            # Adafactor's rsqrt/parameter-scale amplifies f32 reduction-order
+            # differences between shardings; 1e-3 on O(1e-2..1) params is noise
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1.5e-3, rtol=5e-3)
+
+    def test_runs_multiple_steps(self):
+        mesh = make_mesh(4)
+        dparams = dino.init_params(jax.random.key(2), embed_dim=64, depth=1)
+        iparams = init_id_module(jax.random.key(3), feature_dim=64)
+        opt = make_adafactor()
+        state = opt.init(iparams)
+        step = make_sharded_pose_step(mesh, opt)
+        batch, rays = make_inputs(seed=1)
+        sb, sr = shard_pose_inputs(mesh, batch, rays)
+        params = iparams
+        losses = []
+        for _ in range(3):
+            params, state, aux = step(params, state, dparams, sb, sr,
+                                      jnp.asarray([0.0, 1.0, 0.0]))
+            losses.append(float(aux["loss"]))
+        assert all(np.isfinite(l) for l in losses)
+
+
+class TestShardedRender:
+    def test_matches_single_device_render(self):
+        from sixdgs_tpu.scene.gaussians import from_arrays
+        from sixdgs_tpu.scene.cameras import make_synthetic_camera
+        from sixdgs_tpu.train.gs_trainer import camera_arrays, render_eval
+
+        rng = np.random.default_rng(4)
+        n = 96
+        arrs = {
+            "xyz": (rng.normal(size=(n, 3)) * 0.5 + [0, 0, 4]).astype(np.float32),
+            "features_dc": rng.normal(size=(n, 1, 3)).astype(np.float32),
+            "features_rest": np.zeros((n, 15, 3), np.float32),
+            "opacity": rng.uniform(0, 2, size=(n, 1)).astype(np.float32),
+            "scaling": rng.uniform(-2.0, -1.2, size=(n, 3)).astype(np.float32),
+            "rotation": rng.normal(size=(n, 4)).astype(np.float32),
+        }
+        scene = from_arrays(arrs, max_sh_degree=3, capacity=128)
+        cam = make_synthetic_camera(64, 32, 0.8, 0.8, np.eye(3), np.zeros(3))
+        ref = np.asarray(render_eval(scene, cam, jnp.zeros(3), 3, chunk=64))
+
+        mesh = make_mesh(8, axis_names=("gaussians",))
+        render = make_sharded_render(mesh, 64, 32, 3, chunk=64)
+        img = render(scene.params(), scene.active, camera_arrays(cam), jnp.zeros(3))
+        np.testing.assert_allclose(np.asarray(img), ref, atol=2e-5)
