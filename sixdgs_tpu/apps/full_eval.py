@@ -1,0 +1,81 @@
+"""Full evaluation orchestrator (parity with /root/reference/full_eval.py:15-123):
+train -> render -> metrics over the standard scene lists, one process, no
+os.system round-trips.
+
+Usage:
+    python -m sixdgs_tpu.apps.full_eval --mipnerf360 <dir> --tanksandtemples <dir>
+        [--output_path ./eval] [--skip_training] [--skip_rendering] [--skip_metrics]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+
+MIPNERF360_OUTDOOR = ["bicycle", "flowers", "garden", "stump", "treehill"]
+MIPNERF360_INDOOR = ["room", "counter", "kitchen", "bonsai"]
+TANKS_AND_TEMPLES = ["truck", "train"]
+DEEP_BLENDING = ["drjohnson", "playroom"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description="sixdgs_tpu full evaluation")
+    parser.add_argument("--skip_training", action="store_true")
+    parser.add_argument("--skip_rendering", action="store_true")
+    parser.add_argument("--skip_metrics", action="store_true")
+    parser.add_argument("--output_path", default="./eval")
+    parser.add_argument("--mipnerf360", "-m360", default=None)
+    parser.add_argument("--tanksandtemples", "-tat", default=None)
+    parser.add_argument("--deepblending", "-db", default=None)
+    parser.add_argument("--iterations", type=int, default=30_000)
+    parser.add_argument("--lpips_weights", type=str, default=None)
+    args = parser.parse_args(argv)
+
+    scenes = []  # (scene_name, source_dir, extra_train_flags)
+    if args.mipnerf360:
+        for s in MIPNERF360_OUTDOOR:
+            scenes.append((s, os.path.join(args.mipnerf360, s), ["--images", "images_4"]))
+        for s in MIPNERF360_INDOOR:
+            scenes.append((s, os.path.join(args.mipnerf360, s), ["--images", "images_2"]))
+    if args.tanksandtemples:
+        for s in TANKS_AND_TEMPLES:
+            scenes.append((s, os.path.join(args.tanksandtemples, s), []))
+    if args.deepblending:
+        for s in DEEP_BLENDING:
+            scenes.append((s, os.path.join(args.deepblending, s), []))
+
+    scenes = [(n, p, f) for (n, p, f) in scenes if os.path.isdir(p)]
+    if not scenes:
+        print("No scene directories found; pass --mipnerf360/--tanksandtemples/--deepblending")
+        return
+
+    from sixdgs_tpu.apps import metrics as metrics_app
+    from sixdgs_tpu.apps import render as render_app
+    from sixdgs_tpu.apps import train_gs
+
+    model_paths = []
+    for name, source, extra in scenes:
+        model_path = os.path.join(args.output_path, name)
+        model_paths.append(model_path)
+        if not args.skip_training:
+            train_gs.main(
+                [
+                    "--source_path", source,
+                    "--model_path", model_path,
+                    "--eval", "--quiet",
+                    "--iterations", str(args.iterations),
+                    "--test_iterations", "-1",
+                ]
+                + extra
+            )
+        if not args.skip_rendering:
+            render_app.main(["--model_path", model_path, "--skip_train"])
+    if not args.skip_metrics:
+        metric_args = ["--model_paths"] + model_paths
+        if args.lpips_weights:
+            metric_args += ["--lpips_weights", args.lpips_weights]
+        metrics_app.main(metric_args)
+
+
+if __name__ == "__main__":
+    main()

@@ -36,11 +36,17 @@ def build_parser():
     add_dataclass_args(parser, OptimizationConfig())
     parser.add_argument("--test_iterations", nargs="+", type=int, default=[7_000, 30_000])
     parser.add_argument("--save_iterations", nargs="+", type=int, default=[7_000, 30_000])
+    parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
+    parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--capacity_bucket", type=int, default=16384)
+    parser.add_argument("--rasterizer", type=str, default="tiled",
+                        choices=["scan", "tiled"],
+                        help="'tiled' (tile-binned, scales to large images) or "
+                        "'scan' (exact full-frame scan, small images)")
     parser.add_argument(
         "--platform", type=str, default=None, choices=["cpu", "tpu", "axon"],
         help="force a JAX backend (the container pins JAX_PLATFORMS=axon; env "
@@ -103,6 +109,10 @@ def main(argv=None):
     writer = MetricsWriter(model_path)
     trainer = GSTrainer(model_cfg, opt_cfg, scene_info, train_cams, test_cams,
                         seed=args.seed, capacity_bucket=args.capacity_bucket)
+    first_iteration = 1
+    if args.start_checkpoint:
+        first_iteration = trainer.restore_checkpoint(args.start_checkpoint) + 1
+        print(f"Resumed from {args.start_checkpoint} at iteration {first_iteration}")
 
     t_start = time.time()
     last_t = [t_start]
@@ -132,6 +142,9 @@ def main(argv=None):
         model_path=model_path,
         callback=callback,
         chunk=args.chunk,
+        rasterizer=args.rasterizer,
+        checkpoint_iterations=args.checkpoint_iterations,
+        first_iteration=first_iteration,
     )
     writer.close()
     print(f"\nTraining complete in {time.time() - t_start:.1f}s.")

@@ -1,0 +1,250 @@
+"""Tile-binned rasterization (the production path for large images).
+
+TPU re-design of the CUDA tile rasterizer's binning (diff-gaussian-
+rasterization; semantics reconstructed from the call-site contract):
+
+  1. depth-sort the Gaussians (global argsort, one pass),
+  2. each Gaussian emits up to T_MAX (tile, gaussian) pairs covering the tile
+     rectangle of its screen-space radius (fixed-capacity, mask-padded),
+  3. ONE stable sort of the pair tile-ids: because Gaussians are already
+     depth-ordered and pair index = g * T_MAX + t is monotone in g, a stable
+     sort by tile id yields per-tile depth-ordered segments — this replaces
+     the CUDA (tile | depth) 64-bit radix sort,
+  4. per-tile segment offsets via searchsorted; pair records are laid out into
+     a dense [n_tiles, K_MAX] window,
+  5. compositing: all tiles at once, scanned over K-blocks with the same
+     cumprod/early-stop algebra as compositing.py (exact CUDA semantics).
+
+Scatter-free backward: XLA turns a gather's VJP into a scatter-add, which is
+catastrophically slow on TPU for multi-million-row index sets (measured ~18 s
+per train step at Mip-360 scale). Both data movements here are bijections, so
+their transposes are expressed as gathers via jax.custom_vjp:
+  * the sort permutation — backward gathers by the inverse permutation,
+  * the segment->window layout — backward gathers each pair's (tile, rank)
+    window cell.
+The only remaining reduction is the [P, T_MAX] -> [P] sum from the pair
+broadcast, which XLA handles as a plain reduce.
+
+Static caps (T_MAX tiles per Gaussian, K_MAX pairs per tile) replace dynamic
+allocation; truncation only drops contributions the 1e-4 transmittance cutoff
+would almost surely kill anyway.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from sixdgs_tpu.ops.rasterizer.compositing import ALPHA_MAX, ALPHA_MIN, T_EPS
+from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
+
+RECORD = 9  # means2d(2) conic(3) color(3) opacity(1)
+
+
+# ----------------------------------------------------- scatter-free gathers
+
+
+@jax.custom_vjp
+def _permute(x, perm, inv_perm):
+    return x[perm]
+
+
+def _permute_fwd(x, perm, inv_perm):
+    return x[perm], inv_perm
+
+
+def _permute_bwd(inv_perm, g):
+    return g[inv_perm], None, None
+
+
+_permute.defvjp(_permute_fwd, _permute_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def _window(x, starts, pair_tile, pair_rank, k_max):
+    """[N_pairs, R] segments -> dense [n_tiles, k_max, R] window (zero-padded).
+
+    starts: [n_tiles + 1] segment offsets into x.
+    pair_tile/pair_rank: per-pair tile id and rank within its tile (used by
+    the transpose; sentinel tile == n_tiles for invalid pairs).
+    """
+    n_tiles = starts.shape[0] - 1
+    counts = starts[1:] - starts[:-1]
+    k = jnp.arange(k_max, dtype=jnp.int32)
+    idx = starts[:-1][:, None] + k[None, :]
+    valid = k[None, :] < counts[:, None]
+    idx = jnp.minimum(idx, x.shape[0] - 1)
+    return jnp.where(valid[..., None], x[idx], 0.0)
+
+
+def _window_fwd(x, starts, pair_tile, pair_rank, k_max):
+    return _window(x, starts, pair_tile, pair_rank, k_max), (
+        pair_tile, pair_rank, x.shape[0],
+    )
+
+
+def _window_bwd(k_max, res, g):
+    pair_tile, pair_rank, n_pairs = res
+    n_tiles = g.shape[0]
+    ok = (pair_tile < n_tiles) & (pair_rank < k_max)
+    t = jnp.where(ok, pair_tile, 0)
+    r = jnp.where(ok, pair_rank, 0)
+    dx = jnp.where(ok[:, None], g[t, r], 0.0)
+    return dx, None, None, None
+
+
+_window.defvjp(_window_fwd, _window_bwd)
+
+
+# ------------------------------------------------------------------ binning
+
+
+def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int):
+    """(tile, pair) assignment for depth-ordered gaussians.
+
+    Returns (pair_order, inv_order, sorted pair tile ids, starts, pair_tile,
+    pair_rank) — everything index-space, differentiability-free.
+    """
+    P = means2d.shape[0]
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / tile), 0, nx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / tile), 0, ny).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + radii_f + 1) / tile), 0, nx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + radii_f + 1) / tile), 0, ny).astype(jnp.int32)
+    rw = jnp.maximum(x1 - x0, 0)
+    rh = jnp.maximum(y1 - y0, 0)
+    # cap the rect area: centered sub-rect of <= t_max tiles (huge gaussians
+    # lose outermost tiles; training prunes them anyway, train.py:166-174)
+    max_w = jnp.minimum(rw, t_max)
+    max_h = jnp.maximum(jnp.minimum(rh, t_max // jnp.maximum(max_w, 1)), 1)
+    cx = jnp.clip((means2d[:, 0] / tile).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
+    cy = jnp.clip((means2d[:, 1] / tile).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
+    nx0 = jnp.clip(cx - max_w // 2, x0, jnp.maximum(x1 - max_w, x0))
+    ny0 = jnp.clip(cy - max_h // 2, y0, jnp.maximum(y1 - max_h, y0))
+
+    p = jnp.arange(t_max, dtype=jnp.int32)
+    pw = p[None, :] % jnp.maximum(max_w, 1)[:, None]
+    ph = p[None, :] // jnp.maximum(max_w, 1)[:, None]
+    tx = nx0[:, None] + pw
+    ty = ny0[:, None] + ph
+    pair_valid = (
+        vis[:, None] & (p[None, :] < (max_w * max_h)[:, None]) & (tx < nx) & (ty < ny)
+    )
+    n_tiles = nx * ny
+    tile_ids = jnp.where(pair_valid, ty * nx + tx, n_tiles).reshape(-1)
+
+    pair_order = jnp.argsort(tile_ids, stable=True)
+    inv_order = jnp.argsort(pair_order)
+    sorted_tiles = tile_ids[pair_order]
+    starts = jnp.searchsorted(
+        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+    pair_rank = jnp.arange(sorted_tiles.shape[0], dtype=jnp.int32) - starts[
+        jnp.minimum(sorted_tiles, n_tiles - 1)
+    ]
+    pair_rank = jnp.where(sorted_tiles < n_tiles, pair_rank, jnp.int32(1 << 30))
+    return pair_order, inv_order, sorted_tiles, starts, pair_rank
+
+
+def rasterize_tiled(
+    proj: ProjectedGaussians,
+    width: int,
+    height: int,
+    bg_color: jnp.ndarray,
+    tile: int = 16,
+    t_max: int = 32,
+    k_max: int = 512,
+    kb: int = 32,
+) -> jnp.ndarray:
+    """Tile-binned rasterization -> [3, H, W]."""
+    nx = -(-width // tile)
+    ny = -(-height // tile)
+    n_tiles = nx * ny
+    k_max = min(k_max, ((proj.means2d.shape[0] * t_max + kb - 1) // kb) * kb)
+
+    visible = proj.radii > 0
+    order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
+    inv_gorder = jnp.argsort(order)
+
+    # pack per-gaussian records then depth-permute ONCE (scatter-free VJP)
+    opac_all = jnp.where(visible, proj.opacities, 0.0)
+    records = _permute(
+        jnp.concatenate(
+            [proj.means2d, proj.conics, proj.colors, opac_all[:, None]], axis=-1
+        ),
+        order,
+        inv_gorder,
+    )  # [P, 9] depth-ordered
+    means2d = jax.lax.stop_gradient(records[:, 0:2])
+    radii_f = proj.radii[order].astype(means2d.dtype)
+    vis = visible[order]
+
+    pair_order, inv_order, sorted_tiles, starts, pair_rank = _bin_pairs(
+        means2d, radii_f, vis, nx, ny, tile, t_max
+    )
+    P = records.shape[0]
+    pair_records = jnp.broadcast_to(records[:, None, :], (P, t_max, RECORD)).reshape(
+        -1, RECORD
+    )
+    sorted_records = _permute(pair_records, pair_order, inv_order)
+    windowed = _window(sorted_records, starts, sorted_tiles, pair_rank, k_max)
+    # [n_tiles, k_max, 9] -> blocks [n_blocks, n_tiles, kb, 9]
+    n_blocks = k_max // kb
+    blocks = windowed.reshape(n_tiles, n_blocks, kb, RECORD).swapaxes(0, 1)
+    counts = starts[1:] - starts[:-1]
+
+    # absolute pixel coords per tile
+    tiles_arange = jnp.arange(n_tiles, dtype=jnp.int32)
+    lx = jnp.arange(tile, dtype=means2d.dtype)
+    px = ((tiles_arange % nx) * tile)[:, None, None].astype(means2d.dtype) + lx[None, None, :]
+    py = ((tiles_arange // nx) * tile)[:, None, None].astype(means2d.dtype) + lx[None, :, None]
+    px = jnp.broadcast_to(px, (n_tiles, tile, tile))
+    py = jnp.broadcast_to(py, (n_tiles, tile, tile))
+
+    kb_idx = jnp.arange(kb, dtype=jnp.int32)
+
+    @functools.partial(jax.remat, policy=jax.checkpoint_policies.nothing_saveable)
+    def body(carry, inputs):
+        T, C, done = carry
+        blk_records, blk = inputs  # [n_tiles, kb, 9], scalar block index
+        k_valid = (blk * kb + kb_idx)[None, :] < counts[:, None]  # [n_tiles, kb]
+        m2d = blk_records[..., 0:2]
+        con = blk_records[..., 2:5]
+        col = blk_records[..., 5:8]
+        op = jnp.where(k_valid, blk_records[..., 8], 0.0)
+
+        dx = px[:, None] - m2d[..., 0][..., None, None]  # [T, kb, tile, tile]
+        dy = py[:, None] - m2d[..., 1][..., None, None]
+        power = (
+            -0.5 * (con[..., 0][..., None, None] * dx * dx
+                    + con[..., 2][..., None, None] * dy * dy)
+            - con[..., 1][..., None, None] * dx * dy
+        )
+        alpha = jnp.minimum(ALPHA_MAX, op[..., None, None] * jnp.exp(power))
+        alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
+
+        one_minus = 1.0 - alpha
+        cum = jnp.cumprod(one_minus, axis=1)
+        T_before = T[:, None] * jnp.concatenate(
+            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
+        )
+        test_T = T_before * one_minus
+        dead = (jnp.cumsum((test_T < T_EPS).astype(jnp.int32), axis=1) > 0) | done[:, None]
+        w = jnp.where(dead, 0.0, alpha * T_before)
+        C = C + jnp.einsum("tkc,tkhw->tchw", col, w)
+        T_new = T * jnp.prod(jnp.where(dead, 1.0, one_minus), axis=1)
+        return (T_new, C, dead[:, -1]), None
+
+    T0 = jnp.ones((n_tiles, tile, tile), means2d.dtype)
+    C0 = jnp.zeros((n_tiles, 3, tile, tile), means2d.dtype)
+    done0 = jnp.zeros((n_tiles, tile, tile), bool)
+    (T, C, _), _ = jax.lax.scan(
+        body, (T0, C0, done0), (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+    )
+    out_tiles = C + T[:, None] * bg_color[None, :, None, None]
+
+    img = out_tiles.reshape(ny, nx, 3, tile, tile)
+    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * tile, nx * tile)
+    return img[:, :height, :width]

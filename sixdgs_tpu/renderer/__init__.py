@@ -26,6 +26,8 @@ def render(
     sh_degree: Optional[int] = None,
     means2d_offset: Optional[jnp.ndarray] = None,
     chunk: int = 256,
+    rasterizer: str = "scan",
+    **tile_kwargs,
 ):
     """Render a GaussianScene from a Camera.
 
@@ -52,9 +54,18 @@ def render(
         sh_degree=sh_degree,
         means2d_offset=means2d_offset,
     )
-    image = rasterize_scan(
-        proj, viewpoint_camera.width, viewpoint_camera.height, bg_color, chunk=chunk
-    )
+    if rasterizer == "tiled":
+        from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
+
+        image = rasterize_tiled(
+            proj, viewpoint_camera.width, viewpoint_camera.height, bg_color,
+            **tile_kwargs,
+        )
+    else:
+        image = rasterize_scan(
+            proj, viewpoint_camera.width, viewpoint_camera.height, bg_color,
+            chunk=chunk,
+        )
     return {
         "render": image,
         "viewspace_points": means2d_offset,

@@ -115,7 +115,31 @@ def read_images_binary(path: str) -> Dict[int, ColmapImage]:
 
 
 def read_points3d_binary(path: str):
-    """Returns (xyz [N,3] f8, rgb [N,3] u8, errors [N] f8)."""
+    """Returns (xyz [N,3] f8, rgb [N,3] u8, errors [N] f8).
+
+    Uses the native gsio parser when available (million-point COLMAP
+    reconstructions are minutes in pure Python); numpy fallback otherwise.
+    """
+    from sixdgs_tpu.utils.native import get_gsio
+
+    lib = get_gsio()
+    if lib is not None:
+        import ctypes
+
+        n = lib.gsio_count_points3d(path.encode())
+        if n >= 0:
+            xyz = np.empty((n, 3), np.float64)
+            rgb = np.empty((n, 3), np.uint8)
+            err = np.empty(n, np.float64)
+            got = lib.gsio_read_points3d(
+                path.encode(),
+                xyz.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                rgb.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                err.ctypes.data_as(ctypes.POINTER(ctypes.c_double)),
+                n,
+            )
+            if got == n:
+                return xyz, rgb, err
     with open(path, "rb") as fh:
         (n,) = _read(fh, "Q")
         xyz = np.empty((n, 3), np.float64)

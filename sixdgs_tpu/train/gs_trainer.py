@@ -80,7 +80,7 @@ def init_train_state(scene: GaussianScene) -> GSTrainState:
 
 
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
-                   bg, means2d_offset, chunk):
+                   bg, means2d_offset, chunk, rasterizer: str = "scan"):
     scaling = jnp.exp(params["scaling"])
     cov3d = build_covariance(scaling, params["rotation"])
     opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
@@ -92,13 +92,19 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
         sh=sh, sh_degree=sh_degree, active=active,
     )
     proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    img = rasterize_scan(proj, width, height, bg, chunk=chunk)
+    if rasterizer == "tiled":
+        from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
+
+        img = rasterize_tiled(proj, width, height, bg)
+    else:
+        img = rasterize_scan(proj, width, height, bg, chunk=chunk)
     return img, proj
 
 
 @functools.partial(
     jax.jit,
-    static_argnames=("width", "height", "sh_degree", "chunk", "lambda_dssim"),
+    static_argnames=("width", "height", "sh_degree", "chunk", "lambda_dssim",
+                     "rasterizer"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -112,6 +118,7 @@ def train_step(
     sh_degree: int,
     chunk: int = 256,
     lambda_dssim: float = 0.2,
+    rasterizer: str = "scan",
 ):
     """One training iteration (render + loss + backward + Adam + densify stats)."""
     active = state.scene.active
@@ -120,7 +127,8 @@ def train_step(
 
     def loss_fn(params, means2d_offset):
         img, proj = _render_params(
-            params, active, cam, width, height, sh_degree, bg, means2d_offset, chunk
+            params, active, cam, width, height, sh_degree, bg, means2d_offset,
+            chunk, rasterizer,
         )
         loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
         return loss, (ll1, proj.radii, img)
@@ -249,12 +257,12 @@ def lr_dict(opt: OptimizationConfig, spatial_lr_scale: float, step: int):
 
 
 def render_eval(scene: GaussianScene, cam, bg: jnp.ndarray, sh_degree: int,
-                chunk: int = 256) -> jnp.ndarray:
+                chunk: int = 256, rasterizer: str = "scan") -> jnp.ndarray:
     """Inference render of a host Camera (for eval loops)."""
     ca = camera_arrays(cam)
     img, _ = _render_params(
         scene.params(), scene.active, ca, cam.width, cam.height, sh_degree, bg,
-        jnp.zeros((scene.capacity, 2)), chunk,
+        jnp.zeros((scene.capacity, 2)), chunk, rasterizer,
     )
     return img
 
@@ -294,12 +302,24 @@ class GSTrainer:
         idx = self.rng.integers(len(self._viewpoint_stack))
         return self._viewpoint_stack.pop(int(idx))
 
+    def save_checkpoint(self, path: str, iteration: int) -> None:
+        from sixdgs_tpu.train.checkpoint import save_train_state
+
+        save_train_state(path, self.state, iteration, self.active_sh_degree)
+
+    def restore_checkpoint(self, path: str) -> int:
+        from sixdgs_tpu.train.checkpoint import load_train_state
+
+        self.state, iteration, self.active_sh_degree = load_train_state(path)
+        return iteration
+
     def run(self, iterations: Optional[int] = None, log_every: int = 50,
             save_iterations=(), model_path: Optional[str] = None,
-            callback=None, chunk: int = 256):
+            callback=None, chunk: int = 256, rasterizer: str = "scan",
+            checkpoint_iterations=(), first_iteration: int = 1):
         opt = self.opt
         iterations = iterations or opt.iterations
-        for it in range(1, iterations + 1):
+        for it in range(first_iteration, iterations + 1):
             if it % 1000 == 0 and self.active_sh_degree < self.state.scene.max_sh_degree:
                 self.active_sh_degree += 1
             cam = self._next_camera()
@@ -314,6 +334,7 @@ class GSTrainer:
                 sh_degree=self.active_sh_degree,
                 chunk=chunk,
                 lambda_dssim=opt.lambda_dssim,
+                rasterizer=rasterizer,
             )
             if callback is not None and (it % log_every == 0 or it == iterations):
                 callback(it, jax.device_get(metrics), self)
@@ -339,6 +360,8 @@ class GSTrainer:
                     model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
                 )
                 self.state.scene.save_ply(path)
+            if it in checkpoint_iterations and model_path:
+                self.save_checkpoint(os.path.join(model_path, f"chkpnt{it}.npz"), it)
         return self.state
 
     def eval_psnr(self, cams=None, chunk: int = 256):

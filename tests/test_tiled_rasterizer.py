@@ -1,0 +1,101 @@
+"""Tiled rasterizer parity with the exact compositing golden model."""
+
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sixdgs_tpu.ops.rasterizer import project_gaussians
+from sixdgs_tpu.ops.rasterizer.compositing import rasterize_brute
+from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
+from sixdgs_tpu.ops.transforms import build_covariance
+from sixdgs_tpu.scene.cameras import make_synthetic_camera
+
+
+def random_proj(n=200, width=80, height=64, seed=0, spread=1.0):
+    rng = np.random.default_rng(seed)
+    cam = make_synthetic_camera(width, height, 0.9, 0.8, np.eye(3), np.zeros(3))
+    means = (rng.normal(size=(n, 3)) * spread + [0, 0, 5]).astype(np.float32)
+    scales = np.exp(rng.normal(size=(n, 3)) * 0.4 - 1.8).astype(np.float32)
+    quats = rng.normal(size=(n, 4)).astype(np.float32)
+    opac = rng.uniform(0.1, 0.95, size=n).astype(np.float32)
+    colors = rng.uniform(size=(n, 3)).astype(np.float32)
+    proj = project_gaussians(
+        jnp.asarray(means),
+        build_covariance(jnp.asarray(scales), jnp.asarray(quats)),
+        jnp.asarray(opac),
+        jnp.asarray(cam.view),
+        jnp.asarray(cam.full_proj),
+        jnp.asarray(cam.camera_center),
+        width, height, math.tan(0.9 / 2), math.tan(0.8 / 2),
+        colors_precomp=jnp.asarray(colors),
+    )
+    return proj, width, height
+
+
+class TestTiledParity:
+    def test_matches_brute(self):
+        proj, W, H = random_proj()
+        bg = jnp.asarray([1.0, 0.5, 0.0])
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_tiled(proj, W, H, bg, t_max=64, k_max=256, kb=16))
+        np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    def test_matches_brute_dense(self):
+        """Many overlapping gaussians exercising the early-stop path."""
+        proj, W, H = random_proj(n=400, spread=0.25, seed=1)
+        bg = jnp.zeros(3)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_tiled(proj, W, H, bg, t_max=64, k_max=512, kb=32))
+        np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    def test_non_multiple_of_tile(self):
+        proj, W, H = random_proj(n=100, width=70, height=45, seed=2)
+        bg = jnp.ones(3)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_tiled(proj, W, H, bg, t_max=64, k_max=256, kb=16))
+        assert img.shape == (3, 45, 70)
+        np.testing.assert_allclose(img, ref, atol=2e-5)
+
+    def test_gradients_match_brute(self):
+        rng = np.random.default_rng(3)
+        W = H = 32
+        cam = make_synthetic_camera(W, H, 0.9, 0.9, np.eye(3), np.zeros(3))
+        n = 20
+        means = (rng.normal(size=(n, 3)) * 0.5 + [0, 0, 4]).astype(np.float32)
+        scales = np.full((n, 3), 0.2, np.float32)
+        quats = np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1))
+        opac = rng.uniform(0.3, 0.9, size=n).astype(np.float32)
+        colors = rng.uniform(size=(n, 3)).astype(np.float32)
+        target = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+
+        def loss(means_, renderer):
+            proj = project_gaussians(
+                means_,
+                build_covariance(jnp.asarray(scales), jnp.asarray(quats)),
+                jnp.asarray(opac),
+                jnp.asarray(cam.view), jnp.asarray(cam.full_proj),
+                jnp.asarray(cam.camera_center),
+                W, H, math.tan(0.45), math.tan(0.45),
+                colors_precomp=jnp.asarray(colors),
+            )
+            img = renderer(proj)
+            return jnp.mean(jnp.square(img - target))
+
+        m = jnp.asarray(means)
+        g_brute = jax.grad(lambda x: loss(x, lambda p: rasterize_brute(p, W, H, jnp.zeros(3))))(m)
+        g_tiled = jax.grad(
+            lambda x: loss(x, lambda p: rasterize_tiled(p, W, H, jnp.zeros(3),
+                                                        t_max=64, k_max=128, kb=16))
+        )(m)
+        np.testing.assert_allclose(np.asarray(g_tiled), np.asarray(g_brute),
+                                   atol=1e-5, rtol=1e-3)
+
+    def test_truncation_caps_dont_crash(self):
+        """Tiny caps still produce a sane (approximate) image."""
+        proj, W, H = random_proj(n=300, spread=0.2, seed=4)
+        img = np.asarray(rasterize_tiled(proj, W, H, jnp.zeros(3), t_max=4,
+                                         k_max=32, kb=8))
+        assert np.isfinite(img).all()
+        assert img.max() <= 1.5
