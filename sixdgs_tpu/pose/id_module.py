@@ -24,13 +24,14 @@ from sixdgs_tpu.rays.engine import Rays
 
 class ScoreOutput(NamedTuple):
     scores: jnp.ndarray  # [N_rays] per-ray score (sum over masked patches)
-    attention: jnp.ndarray  # [256, N_rays]
+    attention: jnp.ndarray  # [256, N_rays] ([0,0] placeholder in fused mode)
     patch_mask: jnp.ndarray  # [256] bool
     cam_up: jnp.ndarray  # [3] unit predicted camera up
     n_patches: jnp.ndarray  # scalar: number of masked patches
 
 
-def score_image(dino_params, id_params, img, mask, rays: Rays) -> ScoreOutput:
+def score_image(dino_params, id_params, img, mask, rays: Rays,
+                fused_attention: bool = False) -> ScoreOutput:
     """Score every ray against one image.
 
     Args:
@@ -39,13 +40,25 @@ def score_image(dino_params, id_params, img, mask, rays: Rays) -> ScoreOutput:
         img: [H, W, 3] float in [0, 1].
         mask: [H, W] foreground mask.
         rays: Rays pytree (padded; rays.valid excludes padding).
+        fused_attention: use the Pallas streaming kernel (inference path;
+            the [256 x N_rays] attention matrix never touches HBM).
     """
     feats_pe, patch_mask, fmap = backbone_features(dino_params, img, mask)
     ray_feats = ray_mlp_apply(id_params["ray_mlp"], rays.ori, rays.dir, rays.rgb)
-    attn = attention_scores(id_params["attention"], feats_pe, ray_feats, rays.valid)
-    # per-ray score = sum over *masked* patches (identification_module.py:82;
-    # the reference gathers masked rows before attention, we mask the sum)
-    scores = jnp.sum(attn * patch_mask[:, None], axis=0)
+    if fused_attention:
+        from sixdgs_tpu.ops.attention_kernel import fused_ray_scores
+
+        n = rays.ori.shape[0]
+        block = 2048 if n % 2048 == 0 else n
+        scores = fused_ray_scores(
+            id_params, feats_pe, ray_feats, patch_mask, rays.valid, block=block
+        )
+        attn = jnp.zeros((0, 0), feats_pe.dtype)
+    else:
+        attn = attention_scores(id_params["attention"], feats_pe, ray_feats, rays.valid)
+        # per-ray score = sum over *masked* patches (identification_module.py:82;
+        # the reference gathers masked rows before attention, we mask the sum)
+        scores = jnp.sum(attn * patch_mask[:, None], axis=0)
     cam_up = cam_up_apply(id_params["cam_up"], fmap)
     cam_up = cam_up / jnp.maximum(jnp.linalg.norm(cam_up), 1e-12)
     return ScoreOutput(
