@@ -47,6 +47,11 @@ def build_parser():
                         choices=["scan", "tiled"],
                         help="'tiled' (tile-binned, scales to large images) or "
                         "'scan' (exact full-frame scan, small images)")
+    parser.add_argument("--gui", action="store_true",
+                        help="serve the SIBR remote viewer on --ip/--port "
+                        "during training (reference network_gui parity)")
+    parser.add_argument("--ip", type=str, default="127.0.0.1")
+    parser.add_argument("--port", type=int, default=6009)
     parser.add_argument(
         "--platform", type=str, default=None, choices=["cpu", "tpu", "axon"],
         help="force a JAX backend (the container pins JAX_PLATFORMS=axon; env "
@@ -135,6 +140,35 @@ def main(argv=None):
             writer.scalar("test/loss_viewpoint - l1_loss", l1_val, it)
             print(f"\n[ITER {it}] Evaluating test: L1 {l1_val} PSNR {psnr_val}")
 
+    pre_step = None
+    if args.gui:
+        import numpy as _np
+
+        from sixdgs_tpu.renderer.network_gui import NetworkGUI, image_to_bytes
+        from sixdgs_tpu.train.gs_trainer import render_gui_camera
+
+        gui = NetworkGUI(args.ip, args.port)
+        source_abs = os.path.abspath(model_cfg.source_path)
+
+        def pre_step(it, tr):
+            # drain viewer messages like train.py:59-90
+            gui.try_connect()
+            while gui.conn is not None:
+                try:
+                    cam, do_training, _, _, keep_alive, scaling = gui.receive()
+                    img_bytes = None
+                    if cam is not None:
+                        img = render_gui_camera(
+                            tr.state.scene, cam, tr.bg, tr.active_sh_degree,
+                            scaling_modifier=scaling,
+                        )
+                        img_bytes = image_to_bytes(_np.asarray(img))
+                    gui.send(img_bytes, source_abs)
+                    if do_training and (it < opt_cfg.iterations or not keep_alive):
+                        break
+                except Exception:
+                    gui.disconnect()
+
     trainer.run(
         iterations=opt_cfg.iterations,
         log_every=args.log_every,
@@ -145,6 +179,7 @@ def main(argv=None):
         rasterizer=args.rasterizer,
         checkpoint_iterations=args.checkpoint_iterations,
         first_iteration=first_iteration,
+        pre_step=pre_step,
     )
     writer.close()
     print(f"\nTraining complete in {time.time() - t_start:.1f}s.")

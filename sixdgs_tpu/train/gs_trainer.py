@@ -256,6 +256,30 @@ def lr_dict(opt: OptimizationConfig, spatial_lr_scale: float, step: int):
     }
 
 
+def render_gui_camera(scene: GaussianScene, gui_cam, bg: jnp.ndarray,
+                      sh_degree: int, scaling_modifier: float = 1.0,
+                      rasterizer: str = "tiled") -> jnp.ndarray:
+    """Render a network-GUI camera (matrices only, no gt image)."""
+    import math as _math
+
+    ca = CameraArrays(
+        view=jnp.asarray(gui_cam.view),
+        full_proj=jnp.asarray(gui_cam.full_proj),
+        camera_center=jnp.asarray(gui_cam.camera_center),
+        tan_fovx=jnp.asarray(_math.tan(gui_cam.FoVx * 0.5), jnp.float32),
+        tan_fovy=jnp.asarray(_math.tan(gui_cam.FoVy * 0.5), jnp.float32),
+        gt_image=jnp.zeros((3, 1, 1)),
+    )
+    scaling = jnp.exp(scene.scaling) * scaling_modifier
+    params = dict(scene.params())
+    params["scaling"] = jnp.log(scaling)
+    img, _ = _render_params(
+        params, scene.active, ca, gui_cam.width, gui_cam.height, sh_degree, bg,
+        jnp.zeros((scene.capacity, 2)), 256, rasterizer,
+    )
+    return img
+
+
 def render_eval(scene: GaussianScene, cam, bg: jnp.ndarray, sh_degree: int,
                 chunk: int = 256, rasterizer: str = "scan") -> jnp.ndarray:
     """Inference render of a host Camera (for eval loops)."""
@@ -316,10 +340,13 @@ class GSTrainer:
     def run(self, iterations: Optional[int] = None, log_every: int = 50,
             save_iterations=(), model_path: Optional[str] = None,
             callback=None, chunk: int = 256, rasterizer: str = "scan",
-            checkpoint_iterations=(), first_iteration: int = 1):
+            checkpoint_iterations=(), first_iteration: int = 1,
+            pre_step=None):
         opt = self.opt
         iterations = iterations or opt.iterations
         for it in range(first_iteration, iterations + 1):
+            if pre_step is not None:
+                pre_step(it, self)
             if it % 1000 == 0 and self.active_sh_degree < self.state.scene.max_sh_degree:
                 self.active_sh_degree += 1
             cam = self._next_camera()
