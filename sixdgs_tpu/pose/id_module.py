@@ -68,3 +68,28 @@ def score_image(dino_params, id_params, img, mask, rays: Rays,
         cam_up=cam_up,
         n_patches=jnp.sum(patch_mask.astype(jnp.int32)),
     )
+
+
+def compute_image_features(dino_params, img, mask):
+    """Backbone features for caching: (feats_pe [256, D+14], patch_mask [256],
+    fmap [D, 16, 16]). The backbone is frozen during id-module training
+    (pose_estimation/train.py:36-40), so these are constants per camera — the
+    reference recomputes them on every one of the 32 accumulation steps; we
+    compute them once per camera."""
+    return backbone_features(dino_params, img, mask)
+
+
+def score_image_cached(id_params, feats_pe, patch_mask, fmap, rays: Rays) -> ScoreOutput:
+    """score_image with precomputed backbone features."""
+    ray_feats = ray_mlp_apply(id_params["ray_mlp"], rays.ori, rays.dir, rays.rgb)
+    attn = attention_scores(id_params["attention"], feats_pe, ray_feats, rays.valid)
+    scores = jnp.sum(attn * patch_mask[:, None], axis=0)
+    cam_up = cam_up_apply(id_params["cam_up"], fmap)
+    cam_up = cam_up / jnp.maximum(jnp.linalg.norm(cam_up), 1e-12)
+    return ScoreOutput(
+        scores=scores,
+        attention=attn,
+        patch_mask=patch_mask,
+        cam_up=cam_up,
+        n_patches=jnp.sum(patch_mask.astype(jnp.int32)),
+    )

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from sixdgs_tpu.pose.id_module import score_image
+from sixdgs_tpu.pose.id_module import compute_image_features, score_image
 from sixdgs_tpu.pose.loss import cam_up_loss, distance_score_loss
 from sixdgs_tpu.rays.engine import Rays
 from sixdgs_tpu.utils.config import PoseEstimationConfig
@@ -32,6 +32,15 @@ from sixdgs_tpu.utils.config import PoseEstimationConfig
 class PoseBatch(NamedTuple):
     images: jnp.ndarray  # [B, H, W, 3] float in [0,1]
     masks: jnp.ndarray  # [B, H, W] bool
+    c2w: jnp.ndarray  # [B, 4, 4]
+
+
+class FeatureBatch(NamedTuple):
+    """Precomputed frozen-backbone features (cache-friendly training)."""
+
+    feats_pe: jnp.ndarray  # [B, 256, D+14]
+    patch_mask: jnp.ndarray  # [B, 256] bool
+    fmap: jnp.ndarray  # [B, D, 16, 16]
     c2w: jnp.ndarray  # [B, 4, 4]
 
 
@@ -75,6 +84,34 @@ def batch_loss(id_params, dino_params, batch: PoseBatch, rays: Rays,
     return total, aux
 
 
+def batch_loss_cached(id_params, fbatch: FeatureBatch, rays: Rays,
+                      model_up: jnp.ndarray):
+    """batch_loss over precomputed backbone features."""
+    from sixdgs_tpu.pose.id_module import score_image_cached
+
+    def per_image(feats_pe, patch_mask, fmap, c2w):
+        out = score_image_cached(id_params, feats_pe, patch_mask, fmap, rays)
+        loss_score, _ = distance_score_loss(
+            out.scores, c2w, rays.ori, rays.dir, rays.valid, out.n_patches
+        )
+        up = cam_up_loss(model_up, out.cam_up)
+        return loss_score + 0.1 * up, (loss_score, up)
+
+    losses, (score_losses, up_losses) = jax.vmap(per_image)(
+        fbatch.feats_pe, fbatch.patch_mask, fbatch.fmap, fbatch.c2w
+    )
+    ok = jnp.isfinite(losses)
+    n_ok = jnp.maximum(jnp.sum(ok.astype(losses.dtype)), 1.0)
+    total = jnp.sum(jnp.where(ok, losses, 0.0)) / n_ok
+    aux = {
+        "loss": total,
+        "loss_score": jnp.sum(jnp.where(ok, score_losses, 0.0)) / n_ok,
+        "cam_up": jnp.sum(jnp.where(ok, up_losses, 0.0)) / n_ok,
+        "n_nan": jnp.sum((~ok).astype(jnp.int32)),
+    }
+    return total, aux
+
+
 @functools.partial(jax.jit, static_argnames=("optimizer",), donate_argnames=("id_params", "opt_state"))
 def pose_train_step(id_params, opt_state, dino_params, batch: PoseBatch,
                     rays: Rays, model_up: jnp.ndarray, *, optimizer):
@@ -83,6 +120,18 @@ def pose_train_step(id_params, opt_state, dino_params, batch: PoseBatch,
     )
     # zero NaN/inf gradients (a NaN image is skipped by the masked mean; this
     # guards pathological batches entirely NaN)
+    grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
+    updates, opt_state = optimizer.update(grads, opt_state, id_params)
+    id_params = optax.apply_updates(id_params, updates)
+    return id_params, opt_state, aux
+
+
+@functools.partial(jax.jit, static_argnames=("optimizer",), donate_argnames=("id_params", "opt_state"))
+def pose_train_step_cached(id_params, opt_state, fbatch: FeatureBatch,
+                           rays: Rays, model_up: jnp.ndarray, *, optimizer):
+    (loss, aux), grads = jax.value_and_grad(batch_loss_cached, has_aux=True)(
+        id_params, fbatch, rays, model_up
+    )
     grads = jax.tree.map(lambda g: jnp.where(jnp.isfinite(g), g, 0.0), grads)
     updates, opt_state = optimizer.update(grads, opt_state, id_params)
     id_params = optax.apply_updates(id_params, updates)
@@ -112,7 +161,8 @@ class PoseTrainer:
     """Host orchestration of id-module training."""
 
     def __init__(self, dino_params, id_params, scene, train_cam_infos,
-                 cfg: Optional[PoseEstimationConfig] = None, seed: int = 55176280):
+                 cfg: Optional[PoseEstimationConfig] = None, seed: int = 55176280,
+                 cache_features: bool = True):
         self.cfg = cfg or PoseEstimationConfig()
         self.dino_params = dino_params
         # own a copy: pose_train_step donates id_params buffers, which would
@@ -129,6 +179,24 @@ class PoseTrainer:
         self.rays: Optional[Rays] = None
         # host-side cache of composited images/masks
         self._img_cache = [prepare_image_mask(c) for c in train_cam_infos]
+        # frozen-backbone feature cache: the reference recomputes DINO features
+        # on every accumulation step (train.py:146); they are constants per
+        # camera while the backbone is locked, so compute once.
+        self.cache_features = cache_features
+        self._feat_cache = None
+        if cache_features:
+            feat_fn = jax.jit(
+                lambda img, mask: compute_image_features(dino_params, img, mask)
+            )
+            feats = [
+                jax.device_get(feat_fn(jnp.asarray(img), jnp.asarray(mask)))
+                for img, mask in self._img_cache
+            ]
+            self._feat_cache = (
+                np.stack([f[0] for f in feats]),
+                np.stack([f[1] for f in feats]),
+                np.stack([f[2] for f in feats]),
+            )
 
     def _regen_rays(self):
         from sixdgs_tpu.rays.engine import generate_rays_from_scene
@@ -136,12 +204,20 @@ class PoseTrainer:
         self.key, sub = jax.random.split(self.key)
         self.rays = generate_rays_from_scene(self.scene, sub, self.cfg)
 
-    def _sample_batch(self) -> PoseBatch:
+    def _sample_batch(self):
         B = self.cfg.gradient_accumulation_steps
         idx = self.rng.integers(0, len(self.train_cam_infos), size=B)
+        c2ws = np.stack([self.train_cam_infos[i].c2w() for i in idx])
+        if self.cache_features:
+            fp, pm, fm = self._feat_cache
+            return FeatureBatch(
+                feats_pe=jnp.asarray(fp[idx]),
+                patch_mask=jnp.asarray(pm[idx]),
+                fmap=jnp.asarray(fm[idx]),
+                c2w=jnp.asarray(c2ws),
+            )
         imgs = np.stack([self._img_cache[i][0] for i in idx])
         masks = np.stack([self._img_cache[i][1] for i in idx])
-        c2ws = np.stack([self.train_cam_infos[i].c2w() for i in idx])
         return PoseBatch(
             images=jnp.asarray(imgs), masks=jnp.asarray(masks), c2w=jnp.asarray(c2ws)
         )
@@ -155,10 +231,16 @@ class PoseTrainer:
             if it % cfg.renewal_every_n_iterations == 0 or self.rays is None:
                 self._regen_rays()
             batch = self._sample_batch()
-            self.id_params, self.opt_state, aux = pose_train_step(
-                self.id_params, self.opt_state, self.dino_params, batch,
-                self.rays, self.model_up, optimizer=self.optimizer,
-            )
+            if self.cache_features:
+                self.id_params, self.opt_state, aux = pose_train_step_cached(
+                    self.id_params, self.opt_state, batch, self.rays,
+                    self.model_up, optimizer=self.optimizer,
+                )
+            else:
+                self.id_params, self.opt_state, aux = pose_train_step(
+                    self.id_params, self.opt_state, self.dino_params, batch,
+                    self.rays, self.model_up, optimizer=self.optimizer,
+                )
             running += float(aux["loss"])
             if callback is not None and (it % log_every == log_every - 1):
                 callback(it, jax.device_get(aux), self)
