@@ -23,7 +23,12 @@ import jax
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from sixdgs_tpu.pose.trainer import PoseBatch, batch_loss
+from sixdgs_tpu.pose.trainer import (
+    FeatureBatch,
+    PoseBatch,
+    batch_loss,
+    batch_loss_cached,
+)
 from sixdgs_tpu.rays.engine import Rays
 
 
@@ -91,6 +96,57 @@ def make_sharded_pose_step(mesh: Mesh, optimizer: optax.GradientTransformation):
         return {"loss": rep, "loss_score": rep, "cam_up": rep, "n_nan": rep}
 
     return jitted
+
+
+def make_sharded_pose_step_cached(mesh: Mesh, optimizer: optax.GradientTransformation):
+    """Cached-feature variant: FeatureBatch sharded on "data", rays on "rays"."""
+    _, rays_s, rep = pose_shardings(mesh)
+    fb_s = FeatureBatch(
+        feats_pe=NamedSharding(mesh, P("data", None, None)),
+        patch_mask=NamedSharding(mesh, P("data", None)),
+        fmap=NamedSharding(mesh, P("data", None, None, None)),
+        c2w=NamedSharding(mesh, P("data", None, None)),
+    )
+    rep_tree = lambda tree: jax.tree.map(lambda _: rep, tree)
+    aux_s = {"loss": rep, "loss_score": rep, "cam_up": rep, "n_nan": rep}
+
+    def step(id_params, opt_state, fbatch, rays, model_up):
+        (loss, aux), grads = jax.value_and_grad(batch_loss_cached, has_aux=True)(
+            id_params, fbatch, rays, model_up
+        )
+        grads = jax.tree.map(
+            lambda g: jax.numpy.where(jax.numpy.isfinite(g), g, 0.0), grads
+        )
+        updates, opt_state = optimizer.update(grads, opt_state, id_params)
+        id_params = optax.apply_updates(id_params, updates)
+        return id_params, opt_state, aux
+
+    def jitted(id_params, opt_state, fbatch, rays, model_up):
+        fn = jax.jit(
+            step,
+            in_shardings=(
+                rep_tree(id_params), rep_tree(opt_state), fb_s, rays_s, rep,
+            ),
+            out_shardings=(rep_tree(id_params), rep_tree(opt_state), aux_s),
+            donate_argnums=(0, 1),
+        )
+        return fn(id_params, opt_state, fbatch, rays, model_up)
+
+    return jitted
+
+
+def shard_feature_inputs(mesh: Mesh, fbatch: FeatureBatch, rays: Rays):
+    fb_s = FeatureBatch(
+        feats_pe=NamedSharding(mesh, P("data", None, None)),
+        patch_mask=NamedSharding(mesh, P("data", None)),
+        fmap=NamedSharding(mesh, P("data", None, None, None)),
+        c2w=NamedSharding(mesh, P("data", None, None)),
+    )
+    _, rays_s, _ = pose_shardings(mesh)
+    return (
+        jax.tree.map(jax.device_put, fbatch, fb_s),
+        jax.tree.map(jax.device_put, rays, rays_s),
+    )
 
 
 # --------------------------------------------------- sharded 3DGS rendering
