@@ -44,7 +44,7 @@ def build_parser():
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--capacity_bucket", type=int, default=16384)
     parser.add_argument("--rasterizer", type=str, default="tiled",
-                        choices=["scan", "tiled"],
+                        choices=["scan", "tiled", "pallas"],
                         help="'tiled' (tile-binned, scales to large images) or "
                         "'scan' (exact full-frame scan, small images)")
     parser.add_argument("--gui", action="store_true",

@@ -107,7 +107,8 @@ def rasterize_scan(
             jnp.cumsum((test_T < T_EPS).astype(jnp.int32), axis=0) > 0
         ) | done[None]
         w = jnp.where(dead, 0.0, alpha * T_before)  # [K, H, W]
-        C = C + jnp.einsum("kc,khw->chw", col, w)
+        C = C + jnp.einsum("kc,khw->chw", col, w,
+                           precision=jax.lax.Precision.HIGHEST)
         # transmittance only advances through live gaussians
         T_new = T * jnp.prod(jnp.where(dead, 1.0, one_minus), axis=0)
         return (T_new, C, dead[-1]), None

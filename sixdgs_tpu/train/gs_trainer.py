@@ -92,7 +92,11 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
         sh=sh, sh_degree=sh_degree, active=active,
     )
     proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    if rasterizer == "tiled":
+    if rasterizer == "pallas":
+        from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
+
+        img = rasterize_pallas(proj, width, height, bg)
+    elif rasterizer == "tiled":
         from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
 
         img = rasterize_tiled(proj, width, height, bg)

@@ -1,0 +1,113 @@
+"""Pallas tile-rasterizer kernels vs the exact golden model (interpret mode)."""
+
+import functools
+import math
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sixdgs_tpu.ops.rasterizer import project_gaussians
+from sixdgs_tpu.ops.rasterizer.compositing import rasterize_brute
+from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
+from sixdgs_tpu.ops.transforms import build_covariance
+from tests.test_tiled_rasterizer import random_proj
+from sixdgs_tpu.scene.cameras import make_synthetic_camera
+
+
+class TestPallasForward:
+    def test_matches_brute(self):
+        proj, W, H = random_proj(n=150, width=64, height=48)
+        bg = jnp.asarray([1.0, 0.5, 0.0])
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=64, interpret=True))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+    def test_dense_overlap(self):
+        proj, W, H = random_proj(n=300, width=48, height=32, spread=0.25, seed=1)
+        bg = jnp.zeros(3)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=64, interpret=True))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+    def test_non_multiple_of_tile(self):
+        proj, W, H = random_proj(n=80, width=50, height=35, seed=2)
+        bg = jnp.ones(3)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=64, interpret=True))
+        assert img.shape == (3, 35, 50)
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
+
+class TestPallasBackward:
+    def test_gradients_match_brute(self):
+        rng = np.random.default_rng(3)
+        W = H = 32
+        cam = make_synthetic_camera(W, H, 0.9, 0.9, np.eye(3), np.zeros(3))
+        n = 25
+        means = (rng.normal(size=(n, 3)) * 0.5 + [0, 0, 4]).astype(np.float32)
+        scales = np.full((n, 3), 0.2, np.float32)
+        quats = np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1))
+        opac_v = rng.uniform(0.3, 0.9, size=n).astype(np.float32)
+        colors_v = rng.uniform(size=(n, 3)).astype(np.float32)
+        target = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+
+        def loss(params, renderer):
+            means_, opac_, colors_ = params
+            proj = project_gaussians(
+                means_,
+                build_covariance(jnp.asarray(scales), jnp.asarray(quats)),
+                opac_,
+                jnp.asarray(cam.view), jnp.asarray(cam.full_proj),
+                jnp.asarray(cam.camera_center),
+                W, H, math.tan(0.45), math.tan(0.45),
+                colors_precomp=colors_,
+            )
+            img = renderer(proj)
+            return jnp.mean(jnp.square(img - target))
+
+        params = (jnp.asarray(means), jnp.asarray(opac_v), jnp.asarray(colors_v))
+        g_ref = jax.grad(
+            lambda p: loss(p, lambda pr: rasterize_brute(pr, W, H, jnp.full(3, 0.3)))
+        )(params)
+        g_pal = jax.grad(
+            lambda p: loss(p, lambda pr: rasterize_pallas(pr, W, H, jnp.full(3, 0.3),
+                                                          t_max=64, interpret=True))
+        )(params)
+        for a, b, name in zip(g_pal, g_ref, ["means", "opac", "colors"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-3, err_msg=name
+            )
+
+    def test_gradients_dense_early_stop(self):
+        """Early-termination path: near-opaque stacked gaussians."""
+        rng = np.random.default_rng(4)
+        W = H = 16
+        cam = make_synthetic_camera(W, H, 0.9, 0.9, np.eye(3), np.zeros(3))
+        n = 40
+        means = (rng.normal(size=(n, 3)) * 0.05 + [0, 0, 3]).astype(np.float32)
+        scales = np.full((n, 3), 0.3, np.float32)
+        quats = np.tile(np.array([[1, 0, 0, 0]], np.float32), (n, 1))
+        opac_v = np.full(n, 0.95, np.float32)
+        colors_v = rng.uniform(size=(n, 3)).astype(np.float32)
+
+        def loss(opac_, renderer):
+            proj = project_gaussians(
+                jnp.asarray(means),
+                build_covariance(jnp.asarray(scales), jnp.asarray(quats)),
+                opac_,
+                jnp.asarray(cam.view), jnp.asarray(cam.full_proj),
+                jnp.asarray(cam.camera_center),
+                W, H, math.tan(0.45), math.tan(0.45),
+                colors_precomp=jnp.asarray(colors_v),
+            )
+            return jnp.mean(renderer(proj))
+
+        o = jnp.asarray(opac_v)
+        g_ref = jax.grad(lambda p: loss(p, lambda pr: rasterize_brute(pr, W, H, jnp.zeros(3))))(o)
+        g_pal = jax.grad(
+            lambda p: loss(p, lambda pr: rasterize_pallas(pr, W, H, jnp.zeros(3),
+                                                          t_max=64, interpret=True))
+        )(o)
+        np.testing.assert_allclose(np.asarray(g_pal), np.asarray(g_ref),
+                                   atol=5e-6, rtol=2e-3)
