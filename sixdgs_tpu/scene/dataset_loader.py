@@ -27,6 +27,12 @@ def load_data(args) -> SceneInfo:
         return read_tanksandtemples_scene_info(
             source_path, args.white_background, args.eval
         )
+    if os.path.exists(os.path.join(source_path, "reconstruction.nvm")):
+        # Cambridge Landmarks: declared but left unimplemented by the
+        # reference (scene/cambridge_loader.py is empty); completed here
+        from sixdgs_tpu.scene.nvm import read_cambridge_scene_info
+
+        return read_cambridge_scene_info(source_path, args.eval)
     raise ValueError(f"Could not recognize scene type at {source_path}")
 
 
