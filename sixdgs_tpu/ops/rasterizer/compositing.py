@@ -26,7 +26,6 @@ images; the tile-binned Pallas path (tiles.py) accelerates large renders.
 from __future__ import annotations
 
 import functools
-from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -365,7 +365,7 @@ def pallas_composite_bwd(records, astarts, counts, nx: int, ny: int, color,
 import functools as _functools
 
 from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
-from sixdgs_tpu.ops.rasterizer.tiles import _bin_pairs, _pair_gather
+from sixdgs_tpu.ops.rasterizer.tiles import _bin_pairs
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))

@@ -33,7 +33,6 @@ would almost surely kill anyway.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import jax.numpy as jnp

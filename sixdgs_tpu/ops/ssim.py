@@ -10,8 +10,6 @@ single conv_general_dilated call with feature_group_count=3.
 
 from __future__ import annotations
 
-import math
-
 import jax
 import jax.numpy as jnp
 

@@ -17,7 +17,6 @@ The same jitted step runs single-chip when the mesh has one device.
 from __future__ import annotations
 
 import functools
-from typing import Tuple
 
 import jax
 import optax

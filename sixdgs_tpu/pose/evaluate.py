@@ -14,14 +14,14 @@ from __future__ import annotations
 
 import functools
 import time
-from typing import List, Optional
+from typing import List
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
 from sixdgs_tpu.pose.id_module import score_image
-from sixdgs_tpu.pose.loss import distance_score_loss, target_ray_scores
+from sixdgs_tpu.pose.loss import distance_score_loss
 from sixdgs_tpu.pose.solver import angular_error_deg, solve_pose, translation_error
 from sixdgs_tpu.pose.trainer import prepare_image_mask
 from sixdgs_tpu.rays.engine import Rays

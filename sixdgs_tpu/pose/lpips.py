@@ -15,7 +15,7 @@ unavailable (metrics report null, matching apps/metrics.py).
 
 from __future__ import annotations
 
-from typing import Dict, List, Sequence, Tuple
+from typing import Dict, List
 
 import numpy as np
 import jax

@@ -15,8 +15,7 @@ is also the data-parallel axis for multi-chip sharding (parallel/pose_sharding).
 from __future__ import annotations
 
 import functools
-import time
-from typing import Dict, NamedTuple, Optional
+from typing import NamedTuple, Optional
 
 import numpy as np
 import jax

@@ -13,7 +13,7 @@ import json
 import socket
 import traceback
 from dataclasses import dataclass
-from typing import Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

@@ -6,7 +6,7 @@ Mirrors /root/reference/scene/scene_structure.py:7-25 and
 
 from __future__ import annotations
 
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Any, Dict, List, Optional
 
 import numpy as np
