@@ -25,3 +25,26 @@ Layout:
 """
 
 __version__ = "0.1.0"
+
+
+def __getattr__(name):
+    """Lazy top-level API (keeps `import sixdgs_tpu` light)."""
+    import importlib
+
+    api = {
+        "GaussianScene": ("sixdgs_tpu.scene.gaussians", "GaussianScene"),
+        "load_ply": ("sixdgs_tpu.scene.gaussians", "load_ply"),
+        "create_from_pcd": ("sixdgs_tpu.scene.gaussians", "create_from_pcd"),
+        "load_data": ("sixdgs_tpu.scene.dataset_loader", "load_data"),
+        "render": ("sixdgs_tpu.renderer", "render"),
+        "GSTrainer": ("sixdgs_tpu.train.gs_trainer", "GSTrainer"),
+        "PoseTrainer": ("sixdgs_tpu.pose.trainer", "PoseTrainer"),
+        "generate_rays": ("sixdgs_tpu.rays.engine", "generate_rays_from_scene"),
+        "score_image": ("sixdgs_tpu.pose.id_module", "score_image"),
+        "solve_pose": ("sixdgs_tpu.pose.solver", "solve_pose"),
+        "make_mesh": ("sixdgs_tpu.parallel.mesh", "make_mesh"),
+    }
+    if name in api:
+        module, attr = api[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'sixdgs_tpu' has no attribute {name!r}")

@@ -151,13 +151,22 @@ def project_gaussians(
         colors = sh_to_color(sh_degree, jnp.swapaxes(sh, -1, -2), dirs)
 
     opac = opacities.reshape(P)
+    # sanitize culled entries: degenerate projections (behind camera, singular
+    # cov, diverged params) can carry NaN/Inf means/conics; zero opacity alone
+    # does not stop NaN propagation through alpha = opac * exp(power)
+    safe2d = jnp.where(visible[:, None], means2d, 0.0)
+    safe2d = jnp.where(jnp.isfinite(safe2d), safe2d, 0.0)
+    safe_con = jnp.where(visible[:, None], conics, jnp.asarray([[1.0, 0.0, 1.0]]))
+    safe_con = jnp.where(jnp.isfinite(safe_con), safe_con, 1.0)
+    safe_col = jnp.where(jnp.isfinite(colors), colors, 0.0)
+    safe_opac = jnp.where(visible & jnp.isfinite(opac), opac, 0.0)
     return ProjectedGaussians(
-        means2d=means2d,
+        means2d=safe2d,
         depths=tz,
-        conics=conics,
+        conics=safe_con,
         radii=radii,
-        colors=colors,
-        opacities=jnp.where(visible, opac, 0.0),
+        colors=safe_col,
+        opacities=safe_opac,
     )
 
 

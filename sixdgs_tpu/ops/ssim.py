@@ -26,6 +26,10 @@ def _depthwise_conv(img: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
     c = img.shape[0]
     k = kernel2d.shape[0]
     kern = jnp.broadcast_to(kernel2d, (c, 1, k, k))
+    # HIGHEST precision is essential on TPU: the default bf16 conv makes
+    # sigma = conv(x^2) - mu^2 cancel into +-1e-3 noise in flat regions,
+    # overwhelming C2 = 9e-4 and exploding the SSIM map (observed SSIM > 16
+    # during training, corrupting the DSSIM loss term).
     out = jax.lax.conv_general_dilated(
         img[None],
         kern,
@@ -33,6 +37,7 @@ def _depthwise_conv(img: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
         padding=[(k // 2, k // 2), (k // 2, k // 2)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
         feature_group_count=c,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return out[0]
 

@@ -21,7 +21,9 @@ def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
     the normalization of the input quaternion.
     """
     norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
-    q = q / norm
+    # guard: a zero/collapsed quaternion (e.g. a diverged padded gaussian)
+    # must not poison the batch with NaNs
+    q = q / jnp.maximum(norm, 1e-12)
     r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
     row0 = jnp.stack(
         [1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)], axis=-1

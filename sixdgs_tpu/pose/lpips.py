@@ -40,6 +40,7 @@ def _conv(x, w, b, stride=1, padding=1):
         x[None], w, (stride, stride),
         [(padding, padding), (padding, padding)],
         dimension_numbers=("NCHW", "OIHW", "NCHW"),
+        precision=jax.lax.Precision.HIGHEST,  # metric fidelity on TPU
     )[0]
     return out + b[:, None, None]
 

@@ -117,6 +117,12 @@ def densify_and_prune(
     # ---- prune (gaussian_model.py:610-626)
     opacity = 1.0 / (1.0 + np.exp(-params["opacity"][:, 0]))
     prune_mask = opacity < min_opacity
+    # hardening beyond the reference: drop gaussians whose params diverged to
+    # non-finite values (they would otherwise poison every later render)
+    finite = np.ones_like(prune_mask)
+    for v in params.values():
+        finite &= np.isfinite(v).all(axis=tuple(range(1, v.ndim)))
+    prune_mask = prune_mask | ~finite
     if max_screen_size:
         big_vs = max_radii2d > max_screen_size
         big_ws = np.exp(params["scaling"]).max(axis=1) > 0.1 * extent

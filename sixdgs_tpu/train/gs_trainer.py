@@ -167,7 +167,8 @@ def reset_opacity(state: GSTrainState) -> GSTrainState:
     (gaussian_model.py:335-340 + replace_tensor_to_optimizer)."""
     scene = state.scene
     op = jax.nn.sigmoid(scene.opacity)
-    new_raw = inverse_sigmoid(jnp.minimum(op, 0.01))
+    # clamp below: sigmoid underflow to exactly 0 would give log(0) = -inf
+    new_raw = inverse_sigmoid(jnp.clip(op, 1e-7, 0.01))
     new_raw = jnp.where(scene.active[:, None], new_raw, scene.opacity)
     params = scene.params()
     params["opacity"] = new_raw
