@@ -396,26 +396,36 @@ def _composite_bwd(nx, ny, interpret, res, grads):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def _aligned_gather(records, src_gidx, d_of_pair, pair_ok, t_max):
+@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
+def _aligned_gather(records, src_gidx, d_of_pair, pair_ok, big_idx, big_ok,
+                    t_max, t_max_big):
     """records [P, 16] -> aligned pair layout [N_aligned, 16].
 
     src_gidx: per aligned slot, source gaussian (depth-order index).
-    d_of_pair / pair_ok: per PRE-SORT pair, its aligned slot and validity —
-    used by the gather-based transpose (no scatter).
+    d_of_pair / pair_ok: per PRE-SORT pair (two-tier layout: P*t_max main +
+    K*t_max_big overflow), its aligned slot and validity — used by the
+    gather-based transpose (scatter-free except a K-row overflow add).
     """
     return records[src_gidx]
 
 
-def _aligned_gather_fwd(records, src_gidx, d_of_pair, pair_ok, t_max):
-    return records[src_gidx], (d_of_pair, pair_ok, records.shape[0])
+def _aligned_gather_fwd(records, src_gidx, d_of_pair, pair_ok, big_idx,
+                        big_ok, t_max, t_max_big):
+    return records[src_gidx], (
+        d_of_pair, pair_ok, big_idx, big_ok, records.shape[0],
+    )
 
 
-def _aligned_gather_bwd(t_max, res, g):
-    d_of_pair, pair_ok, P = res
+def _aligned_gather_bwd(t_max, t_max_big, res, g):
+    d_of_pair, pair_ok, big_idx, big_ok, P = res
+    K = big_idx.shape[0]
+    R = g.shape[-1]
     d_pair = jnp.where(pair_ok[:, None], g[d_of_pair], 0.0)  # [N_pairs, 16]
-    d_records = jnp.sum(d_pair.reshape(P, t_max, g.shape[-1]), axis=1)
-    return d_records, None, None, None
+    n_main = P * t_max
+    d_main = jnp.sum(d_pair[:n_main].reshape(P, t_max, R), axis=1)
+    d_big = jnp.sum(d_pair[n_main:].reshape(K, t_max_big, R), axis=1)
+    d_big = jnp.where(big_ok[:, None], d_big, 0.0)
+    return d_main.at[big_idx].add(d_big), None, None, None, None, None
 
 
 _aligned_gather.defvjp(_aligned_gather_fwd, _aligned_gather_bwd)
@@ -428,11 +438,13 @@ def rasterize_pallas(
     bg_color: jnp.ndarray,
     t_max: int = 16,
     interpret: bool = False,
+    overflow_k: int = 256,
+    t_max_big: int = 1024,
 ) -> jnp.ndarray:
     """Tile-binned rasterization via the Pallas kernels -> [3, H, W].
 
-    Same binning as tiles.rasterize_tiled; compositing + backward run in the
-    hand-written kernels (no k_max truncation)."""
+    Same two-tier binning as tiles.rasterize_tiled; compositing + backward run
+    in the hand-written kernels (no k_max truncation)."""
     nx = -(-width // TILE)
     ny = -(-height // TILE)
 
@@ -461,12 +473,15 @@ def rasterize_pallas(
     means2d_sorted = jax.lax.stop_gradient(records[:, 0:2])
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
-    pair_order, inv_order, sorted_tiles, starts, pair_rank = _bin_pairs(
-        means2d_sorted, radii_f, vis, nx, ny, TILE, t_max
+    overflow_k = min(overflow_k, P)
+    (pair_order, inv_order, sorted_tiles, starts, pair_rank,
+     pair_gidx, big_idx, big_ok) = _bin_pairs(
+        means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
+        overflow_k=overflow_k, t_max_big=t_max_big,
     )
     n_tiles = nx * ny
     n_pairs = pair_order.shape[0]
-    g_sorted = pair_order // t_max  # per sorted-pair slot, its gaussian
+    g_sorted = pair_gidx[pair_order]  # per sorted-pair slot, its gaussian
 
     # KB-aligned per-tile segments: Mosaic requires lane-dim DMA offsets to be
     # tiling-aligned, so each tile's segment starts at a multiple of KB.
@@ -506,7 +521,8 @@ def rasterize_pallas(
     )
     d_of_pair = jnp.clip(d_of_pair, 0, n_aligned - 1)
 
-    aligned = _aligned_gather(records, src_gidx, d_of_pair, pair_ok, t_max)
+    aligned = _aligned_gather(records, src_gidx, d_of_pair, pair_ok,
+                              big_idx, big_ok, t_max, t_max_big)
     # zero invalid slots so uncovered padding can't contribute
     aligned = aligned * slot_ok[:, None].astype(aligned.dtype)
     # re-express means relative to the owning tile's origin: the kernel works

@@ -62,26 +62,36 @@ def _permute_bwd(inv_perm, g):
 _permute.defvjp(_permute_fwd, _permute_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
-def _pair_gather(records, g_sorted, inv_order, t_max):
-    """records[g_sorted]: fused broadcast-to-pairs + sort-permutation.
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
+def _pair_gather(records, gidx_sorted, inv_order, big_idx, big_ok, t_max,
+                 t_max_big):
+    """records[gidx_sorted]: fused broadcast-to-pairs + sort-permutation over
+    the two-tier pair layout (P*t_max main slots + K*t_max_big overflow).
 
-    The transpose gathers by the inverse permutation and reduces the t_max
-    pair copies per gaussian — no scatter, and no materialized [N_pairs, R]
-    pre-sort buffer on the forward.
+    The transpose gathers by the inverse permutation and reduces the regular
+    per-gaussian slot blocks — no scatter except a K-row (overflow) add.
     """
-    return records[g_sorted]
+    return records[gidx_sorted]
 
 
-def _pair_gather_fwd(records, g_sorted, inv_order, t_max):
-    return records[g_sorted], (g_sorted, inv_order, records.shape[0])
+def _pair_gather_fwd(records, gidx_sorted, inv_order, big_idx, big_ok, t_max,
+                     t_max_big):
+    return records[gidx_sorted], (
+        gidx_sorted, inv_order, big_idx, big_ok, records.shape[0],
+    )
 
 
-def _pair_gather_bwd(t_max, res, g):
-    g_sorted, inv_order, P = res
-    d_pair = g[inv_order]  # pre-sort pair order: pair i = (i//t_max, i%t_max)
-    d_records = jnp.sum(d_pair.reshape(P, t_max, g.shape[-1]), axis=1)
-    return d_records, None, None
+def _pair_gather_bwd(t_max, t_max_big, res, g):
+    gidx_sorted, inv_order, big_idx, big_ok, P = res
+    K = big_idx.shape[0]
+    R = g.shape[-1]
+    d_pair = g[inv_order]  # pre-sort pair order
+    n_main = P * t_max
+    d_main = jnp.sum(d_pair[:n_main].reshape(P, t_max, R), axis=1)
+    d_big = jnp.sum(d_pair[n_main:].reshape(K, t_max_big, R), axis=1)
+    d_big = jnp.where(big_ok[:, None], d_big, 0.0)
+    d_records = d_main.at[big_idx].add(d_big)  # K-row scatter-add (tiny)
+    return d_records, None, None, None, None
 
 
 _pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
@@ -126,40 +136,83 @@ _window.defvjp(_window_fwd, _window_bwd)
 # ------------------------------------------------------------------ binning
 
 
-def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int):
-    """(tile, pair) assignment for depth-ordered gaussians.
+def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
+    """Tile ids [G, budget] of a centered sub-rect capped to ``budget`` tiles."""
+    rw = jnp.maximum(x1 - x0, 0)
+    rh = jnp.maximum(y1 - y0, 0)
+    max_w = jnp.minimum(rw, budget)
+    max_h = jnp.maximum(jnp.minimum(rh, budget // jnp.maximum(max_w, 1)), 1)
+    sx0 = jnp.clip(cx - max_w // 2, x0, jnp.maximum(x1 - max_w, x0))
+    sy0 = jnp.clip(cy - max_h // 2, y0, jnp.maximum(y1 - max_h, y0))
+    p = jnp.arange(budget, dtype=jnp.int32)
+    pw = p[None, :] % jnp.maximum(max_w, 1)[:, None]
+    ph = p[None, :] // jnp.maximum(max_w, 1)[:, None]
+    tx = sx0[:, None] + pw
+    ty = sy0[:, None] + ph
+    pair_valid = (
+        valid[:, None] & (p[None, :] < (max_w * max_h)[:, None]) & (tx < nx) & (ty < ny)
+    )
+    n_tiles = nx * ny
+    return jnp.where(pair_valid, ty * nx + tx, n_tiles)
 
-    Returns (pair_order, inv_order, sorted pair tile ids, starts, pair_tile,
-    pair_rank) — everything index-space, differentiability-free.
+
+def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
+               overflow_k: int = 256, t_max_big: int = 1024):
+    """(tile, pair) assignment for depth-ordered gaussians; two-tier budgets.
+
+    Most gaussians cover few tiles and get ``t_max`` pair slots. Near-camera
+    gaussians can cover hundreds of tiles; capping them at t_max renders them
+    as thin tile bands (observed as 16-px striping). The ``overflow_k``
+    largest rects instead get ``t_max_big`` slots each — static shapes, and
+    the CUDA reference's uncapped binning is matched for any practical scene
+    (artifacts only beyond overflow_k simultaneous giant gaussians).
+
+    Returns (pair_order, inv_order, sorted_tiles, starts, pair_rank,
+    pair_gidx, big_idx, big_ok) — all index-space, differentiability-free.
+    ``pair_gidx`` maps PRE-SORT pair slots to depth-ordered gaussian indices.
     """
     P = means2d.shape[0]
+    overflow_k = min(overflow_k, P)
     x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / tile), 0, nx).astype(jnp.int32)
     y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / tile), 0, ny).astype(jnp.int32)
     x1 = jnp.clip(jnp.ceil((means2d[:, 0] + radii_f + 1) / tile), 0, nx).astype(jnp.int32)
     y1 = jnp.clip(jnp.ceil((means2d[:, 1] + radii_f + 1) / tile), 0, ny).astype(jnp.int32)
-    rw = jnp.maximum(x1 - x0, 0)
-    rh = jnp.maximum(y1 - y0, 0)
-    # cap the rect area: centered sub-rect of <= t_max tiles (huge gaussians
-    # lose outermost tiles; training prunes them anyway, train.py:166-174)
-    max_w = jnp.minimum(rw, t_max)
-    max_h = jnp.maximum(jnp.minimum(rh, t_max // jnp.maximum(max_w, 1)), 1)
     cx = jnp.clip((means2d[:, 0] / tile).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
     cy = jnp.clip((means2d[:, 1] / tile).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
-    nx0 = jnp.clip(cx - max_w // 2, x0, jnp.maximum(x1 - max_w, x0))
-    ny0 = jnp.clip(cy - max_h // 2, y0, jnp.maximum(y1 - max_h, y0))
+    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
 
-    p = jnp.arange(t_max, dtype=jnp.int32)
-    pw = p[None, :] % jnp.maximum(max_w, 1)[:, None]
-    ph = p[None, :] // jnp.maximum(max_w, 1)[:, None]
-    tx = nx0[:, None] + pw
-    ty = ny0[:, None] + ph
-    pair_valid = (
-        vis[:, None] & (p[None, :] < (max_w * max_h)[:, None]) & (tx < nx) & (ty < ny)
-    )
+    is_big = vis & (area > t_max)
+    score = jnp.where(is_big, area, -1)
+    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
+    big_ok = big_vals > 0
+    in_overflow = jnp.zeros(P, bool).at[big_idx].set(big_ok)
+
+    main_ids = _rect_pairs(
+        x0, y0, x1, y1, cx, cy, vis & ~in_overflow, nx, ny, t_max
+    )  # [P, t_max]
+    big_ids = _rect_pairs(
+        x0[big_idx], y0[big_idx], x1[big_idx], y1[big_idx],
+        cx[big_idx], cy[big_idx], big_ok, nx, ny, t_max_big,
+    )  # [K, t_max_big]
+
     n_tiles = nx * ny
-    tile_ids = jnp.where(pair_valid, ty * nx + tx, n_tiles).reshape(-1)
+    tile_ids = jnp.concatenate([main_ids.reshape(-1), big_ids.reshape(-1)])
+    pair_gidx = jnp.concatenate(
+        [
+            jnp.repeat(jnp.arange(P, dtype=jnp.int32), t_max,
+                       total_repeat_length=P * t_max),
+            jnp.repeat(big_idx.astype(jnp.int32), t_max_big,
+                       total_repeat_length=overflow_k * t_max_big),
+        ]
+    )
 
-    pair_order = jnp.argsort(tile_ids, stable=True)
+    # two-pass stable sort (tile major, depth minor): the overflow block is
+    # APPENDED after the main pairs, so pre-sort position alone no longer
+    # encodes depth order — sort by gaussian depth rank first, then stable by
+    # tile id (a composed (tile, depth) radix sort without 64-bit keys)
+    perm1 = jnp.argsort(pair_gidx, stable=True)
+    perm2 = jnp.argsort(tile_ids[perm1], stable=True)
+    pair_order = perm1[perm2]
     inv_order = jnp.argsort(pair_order)
     sorted_tiles = tile_ids[pair_order]
     starts = jnp.searchsorted(
@@ -169,7 +222,8 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int):
         jnp.minimum(sorted_tiles, n_tiles - 1)
     ]
     pair_rank = jnp.where(sorted_tiles < n_tiles, pair_rank, jnp.int32(1 << 30))
-    return pair_order, inv_order, sorted_tiles, starts, pair_rank
+    return (pair_order, inv_order, sorted_tiles, starts, pair_rank,
+            pair_gidx, big_idx, big_ok)
 
 
 def rasterize_tiled(
@@ -181,12 +235,15 @@ def rasterize_tiled(
     t_max: int = 16,
     k_max: int = 512,
     kb: int = 32,  # kept for API compat; per-slot scan no longer blocks
+    overflow_k: int = 256,
+    t_max_big: int = 1024,
 ) -> jnp.ndarray:
     """Tile-binned rasterization -> [3, H, W]."""
     nx = -(-width // tile)
     ny = -(-height // tile)
     n_tiles = nx * ny
     k_max = min(k_max, proj.means2d.shape[0] * t_max)
+    overflow_k = min(overflow_k, proj.means2d.shape[0])
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
@@ -205,11 +262,14 @@ def rasterize_tiled(
     radii_f = proj.radii[order].astype(means2d.dtype)
     vis = visible[order]
 
-    pair_order, inv_order, sorted_tiles, starts, pair_rank = _bin_pairs(
-        means2d, radii_f, vis, nx, ny, tile, t_max
+    (pair_order, inv_order, sorted_tiles, starts, pair_rank,
+     pair_gidx, big_idx, big_ok) = _bin_pairs(
+        means2d, radii_f, vis, nx, ny, tile, t_max,
+        overflow_k=overflow_k, t_max_big=t_max_big,
     )
-    g_sorted = pair_order // t_max
-    sorted_records = _pair_gather(records, g_sorted, inv_order, t_max)
+    gidx_sorted = pair_gidx[pair_order]
+    sorted_records = _pair_gather(records, gidx_sorted, inv_order, big_idx,
+                                  big_ok, t_max, t_max_big)
     windowed = _window(sorted_records, starts, sorted_tiles, pair_rank, k_max)
     counts = starts[1:] - starts[:-1]
     # scan over depth slots: [k_max, n_tiles, 9]. A sequential per-slot scan

@@ -92,6 +92,21 @@ class TestTiledParity:
         np.testing.assert_allclose(np.asarray(g_tiled), np.asarray(g_brute),
                                    atol=1e-5, rtol=1e-3)
 
+    def test_big_gaussian_overflow_binning(self):
+        """Near-camera gaussians covering many tiles must not band (regression:
+        the single-tier t_max cap rendered wide gaussians as 1-tile-high
+        stripes). At large radii the binned paths differ from the unculled
+        golden model only by the CUDA-consistent 3-sigma rect cutoff."""
+        proj, W, H = random_proj(n=150, width=224, height=224, seed=7)
+        bg = jnp.ones(3)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_tiled(proj, W, H, bg, k_max=1024))
+        assert np.abs(img - ref).max() < 6e-3
+        # banding check: adjacent 16px tile-row means must not jump
+        rows = img.mean(axis=(0, 2)).reshape(-1, 16).mean(axis=1)
+        ref_rows = ref.mean(axis=(0, 2)).reshape(-1, 16).mean(axis=1)
+        np.testing.assert_allclose(rows, ref_rows, atol=1e-3)
+
     def test_truncation_caps_dont_crash(self):
         """Tiny caps still produce a sane (approximate) image."""
         proj, W, H = random_proj(n=300, spread=0.2, seed=4)
