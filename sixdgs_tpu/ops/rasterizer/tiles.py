@@ -275,8 +275,16 @@ def rasterize_tiled(
     # scan over depth slots: [k_max, n_tiles, 9]. A sequential per-slot scan
     # beats the cumprod/cumsum formulation by ~100x on TPU: the cumulative-op
     # VJPs lower to pathological code, while the scan transpose is clean
-    # elementwise math (measured 8.9s -> 90ms at Mip-360 scale).
-    slots = windowed.swapaxes(0, 1)
+    # elementwise math (measured 8.9s -> 90ms at Mip-360 scale). Slots are
+    # consumed SB_SCAN at a time with the inner dependence statically
+    # unrolled, amortizing per-step scan overheads.
+    SB_SCAN = 4
+    k_pad = (-k_max) % SB_SCAN
+    if k_pad:
+        windowed = jnp.concatenate(
+            [windowed, jnp.zeros((n_tiles, k_pad, RECORD), windowed.dtype)], axis=1
+        )
+    slots = windowed.reshape(n_tiles, -1, SB_SCAN, RECORD).swapaxes(0, 1)
 
     # absolute pixel coords per tile
     tiles_arange = jnp.arange(n_tiles, dtype=jnp.int32)
@@ -289,32 +297,39 @@ def rasterize_tiled(
     @functools.partial(jax.remat, policy=jax.checkpoint_policies.nothing_saveable)
     def body(carry, inputs):
         T, C, done = carry  # [T,t,t], [T,3,t,t], [T,t,t]
-        rec, k = inputs  # [n_tiles, 9], slot index
-        k_valid = k < counts  # [n_tiles]
-        op = jnp.where(k_valid, rec[:, 8], 0.0)
-        dx = px - rec[:, 0][:, None, None]
-        dy = py - rec[:, 1][:, None, None]
+        recs, k0 = inputs  # [n_tiles, SB_SCAN, 9], base slot index
+        # vectorized alpha for the sub-block
+        op = jnp.where(
+            (k0 + jnp.arange(SB_SCAN, dtype=jnp.int32))[None, :] < counts[:, None],
+            recs[:, :, 8], 0.0,
+        )  # [n_tiles, SB_SCAN]
+        dx = px[:, None] - recs[:, :, 0][:, :, None, None]  # [T,SB,t,t]
+        dy = py[:, None] - recs[:, :, 1][:, :, None, None]
         power = (
-            -0.5 * (rec[:, 2][:, None, None] * dx * dx
-                    + rec[:, 4][:, None, None] * dy * dy)
-            - rec[:, 3][:, None, None] * dx * dy
+            -0.5 * (recs[:, :, 2][:, :, None, None] * dx * dx
+                    + recs[:, :, 4][:, :, None, None] * dy * dy)
+            - recs[:, :, 3][:, :, None, None] * dx * dy
         )
-        alpha = jnp.minimum(ALPHA_MAX, op[:, None, None] * jnp.exp(power))
+        alpha = jnp.minimum(ALPHA_MAX, op[:, :, None, None] * jnp.exp(power))
         alpha = jnp.where((power > 0.0) | (alpha < ALPHA_MIN), 0.0, alpha)
-        test_T = T * (1.0 - alpha)
-        stop = test_T < T_EPS  # this gaussian does NOT contribute (CUDA order)
-        contribute = (~done) & (~stop)
-        w = jnp.where(contribute, alpha * T, 0.0)  # [n_tiles, t, t]
-        C = C + rec[:, 5:8][:, :, None, None] * w[:, None]
-        T = jnp.where(contribute, test_T, T)
-        done = done | stop
+        # statically-unrolled sequential compositing over the sub-block
+        for i in range(SB_SCAN):
+            a = alpha[:, i]
+            test_T = T * (1.0 - a)
+            stop = test_T < T_EPS  # non-contributing (CUDA order)
+            contribute = (~done) & (~stop)
+            w = jnp.where(contribute, a * T, 0.0)  # [n_tiles, t, t]
+            C = C + recs[:, i, 5:8][:, :, None, None] * w[:, None]
+            T = jnp.where(contribute, test_T, T)
+            done = done | stop
         return (T, C, done), None
 
     T0 = jnp.ones((n_tiles, tile, tile), means2d.dtype)
     C0 = jnp.zeros((n_tiles, 3, tile, tile), means2d.dtype)
     done0 = jnp.zeros((n_tiles, tile, tile), bool)
     (T, C, _), _ = jax.lax.scan(
-        body, (T0, C0, done0), (slots, jnp.arange(k_max, dtype=jnp.int32))
+        body, (T0, C0, done0),
+        (slots, jnp.arange(0, k_max + k_pad, SB_SCAN, dtype=jnp.int32)),
     )
     out_tiles = C + T[:, None] * bg_color[None, :, None, None]
 
