@@ -1,0 +1,172 @@
+"""Device-time breakdown of the 3DGS train step at Mip-360 scale.
+
+Times each stage of the rasterizer data path separately so optimization
+targets the dominant cost (run on the real TPU chip).
+"""
+
+import argparse
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def make_scene(P=100_000, seed=0, cap=None):
+    from sixdgs_tpu.scene.gaussians import from_arrays
+
+    rng = np.random.default_rng(seed)
+    arrs = {
+        "xyz": (rng.normal(size=(P, 3)) * 2.0 + [0, 0, 6]).astype(np.float32),
+        "features_dc": rng.normal(size=(P, 1, 3)).astype(np.float32) * 0.3,
+        "features_rest": np.zeros((P, 15, 3), np.float32),
+        "opacity": rng.uniform(-2, 2, size=(P, 1)).astype(np.float32),
+        "scaling": rng.uniform(-5.2, -3.0, size=(P, 3)).astype(np.float32),
+        "rotation": rng.normal(size=(P, 4)).astype(np.float32),
+    }
+    return from_arrays(arrs, max_sh_degree=3, capacity=cap or P)
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--P", type=int, default=131072)
+    ap.add_argument("--W", type=int, default=1232)
+    ap.add_argument("--H", type=int, default=816)
+    ap.add_argument("--stages", default="all")
+    args = ap.parse_args()
+
+    from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
+    from sixdgs_tpu.ops.rasterizer import tiles as T
+    from sixdgs_tpu.ops.ssim import dssim_l1_loss
+    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.scene.cameras import make_synthetic_camera
+    from sixdgs_tpu.train.gs_trainer import (
+        camera_arrays, init_train_state, train_step, lr_dict,
+    )
+    from sixdgs_tpu.utils.config import OptimizationConfig
+
+    W, H = args.W, args.H
+    nx, ny = -(-W // 16), -(-H // 16)
+    scene = make_scene(args.P)
+    cam = make_synthetic_camera(W, H, 0.9, 0.65, np.eye(3), np.zeros(3))
+    ca = camera_arrays(cam)._replace(
+        gt_image=jnp.asarray(np.random.default_rng(1).uniform(size=(3, H, W)), jnp.float32)
+    )
+    stages = args.stages.split(",") if args.stages != "all" else None
+
+    def want(name):
+        return stages is None or name in stages
+
+    params = scene.params()
+    active = scene.active
+
+    @jax.jit
+    def proj_fn(params):
+        scaling = jnp.exp(params["scaling"])
+        cov3d = build_covariance(scaling, params["rotation"])
+        opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
+        sh = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
+        return project_gaussians(
+            params["xyz"], cov3d, opacity, ca.view, ca.full_proj,
+            ca.camera_center, W, H, ca.tan_fovx, ca.tan_fovy,
+            sh=sh, sh_degree=3, active=active,
+        )
+
+    proj = jax.block_until_ready(proj_fn(params))
+    print(f"P={args.P} visible={int((proj.radii > 0).sum())} "
+          f"tiles={nx}x{ny}={nx*ny}")
+
+    if want("proj"):
+        print(f"projection fwd: {timeit(proj_fn, params):8.2f} ms")
+
+        @jax.jit
+        def proj_vjp(params):
+            def f(p):
+                pr = proj_fn.__wrapped__(p)
+                return jnp.sum(pr.means2d * 1e-3) + jnp.sum(pr.colors) + jnp.sum(pr.conics)
+            return jax.grad(f)(params)
+
+        print(f"projection fwd+bwd: {timeit(proj_vjp, params):8.2f} ms")
+
+    if want("bin"):
+        visible = proj.radii > 0
+        order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
+        means2d = proj.means2d[order]
+        radii_f = proj.radii[order].astype(jnp.float32)
+        vis = visible[order]
+
+        bin_fn = jax.jit(lambda m, r, v: T._bin_pairs(m, r, v, nx, ny, 16, 16))
+        out = jax.block_until_ready(bin_fn(means2d, radii_f, vis))
+        n_pairs = out[0].shape[0]
+        starts = out[3]
+        counts = np.asarray(starts[1:] - starts[:-1])
+        real = int(np.asarray(jnp.sum(out[2] < nx * ny)))
+        print(f"bin_pairs (incl 2 sorts + searchsorted): {timeit(bin_fn, means2d, radii_f, vis):8.2f} ms  "
+              f"[pair slots {n_pairs}, real pairs {real}, max/tile {counts.max()}]")
+
+        sort_fn = jax.jit(lambda x: jnp.argsort(x, stable=True))
+        keys = out[2]  # sorted_tiles as stand-in key array
+        print(f"one stable argsort of {n_pairs} i32: {timeit(sort_fn, keys):8.2f} ms")
+
+    if want("ssim"):
+        img = jnp.asarray(np.random.default_rng(2).uniform(size=(3, H, W)), jnp.float32)
+
+        @jax.jit
+        def ssim_fb(img):
+            return jax.value_and_grad(lambda i: dssim_l1_loss(i, ca.gt_image, 0.2)[0])(img)
+
+        print(f"dssim_l1 fwd+bwd: {timeit(ssim_fb, img):8.2f} ms")
+
+    from sixdgs_tpu.train.gs_trainer import _render_params
+
+    for rast in ("tiled", "pallas"):
+        if not want(rast):
+            continue
+
+        def fwd(params, zeros2d, _rast=rast):
+            img, _ = _render_params(params, active, ca, W, H, 3,
+                                    jnp.zeros(3), zeros2d, 256, _rast)
+            return jnp.sum(img)
+
+        zeros2d = jnp.zeros((scene.capacity, 2))
+        try:
+            jf = jax.jit(fwd)
+            print(f"raster[{rast}] fwd: {timeit(jf, params, zeros2d):8.2f} ms")
+            g = jax.jit(jax.grad(fwd, argnums=(0, 1)))
+            print(f"raster[{rast}] fwd+bwd: {timeit(g, params, zeros2d):8.2f} ms")
+        except Exception as e:
+            print(f"raster[{rast}] FAILED: {type(e).__name__}: {e}")
+
+    if want("step"):
+        st = init_train_state(make_scene(args.P))
+        lrs = lr_dict(OptimizationConfig(), 1.0, 1000)
+        for rast in ("tiled",):
+            stt = init_train_state(make_scene(args.P))
+            def stp(s):
+                s2, m = train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
+                                   sh_degree=3, rasterizer=rast)
+                return s2, m
+            # donated state: re-time by chaining
+            for _ in range(3):
+                stt, m = stp(stt)
+            jax.block_until_ready(m["loss"])
+            t0 = time.perf_counter()
+            N = 20
+            for _ in range(N):
+                stt, m = stp(stt)
+            jax.block_until_ready(m["loss"])
+            print(f"train_step[{rast}]: {(time.perf_counter()-t0)/N*1e3:8.2f} ms")
+
+
+if __name__ == "__main__":
+    main()
