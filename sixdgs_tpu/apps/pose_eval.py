@@ -102,15 +102,16 @@ def pretrain_single_object(
     scene_info = load_data(checkpoint_args)
 
     id_params = init_id_module(jax.random.key(seed))
-    start_iterations = 0
     ckpt_path = os.path.join(exp_dir_filepath, "id_module.npz")
-    if os.path.exists(ckpt_path):
-        print("Checkpoint already exists, skip training phase")
-        id_params, start_iterations = PoseTrainer.load_checkpoint(ckpt_path, id_params)
-
     trainer = PoseTrainer(
         dino_params, id_params, scene, scene_info.train_cameras, cfg, seed=seed
     )
+    start_iterations = 0
+    if os.path.exists(ckpt_path):
+        # full resume: params + Adafactor state + running_loss, the reference
+        # id_module.th semantics (pretrain_eval_attention.py:66-71)
+        print("Checkpoint already exists, resuming (or skipping training)")
+        start_iterations = trainer.restore_checkpoint(ckpt_path)
     writer = MetricsWriter(exp_dir_filepath, filename="pose_metrics.jsonl")
 
     def cb(it, aux, tr):
@@ -120,7 +121,8 @@ def pretrain_single_object(
         print(f"[{it}] loss: {aux['loss']:.5f}")
 
     if start_iterations < cfg.n_iterations:
-        trainer.run(start_iteration=start_iterations, callback=cb)
+        trainer.run(start_iteration=start_iterations, callback=cb,
+                    test_cam_infos=scene_info.test_cameras, writer=writer)
         trainer.save_checkpoint(ckpt_path, epoch=cfg.n_iterations)
     id_params = trainer.id_params
 

@@ -365,7 +365,7 @@ def pallas_composite_bwd(records, astarts, counts, nx: int, ny: int, color,
 import functools as _functools
 
 from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
-from sixdgs_tpu.ops.rasterizer.tiles import _bin_pairs
+from sixdgs_tpu.ops.rasterizer.tiles import _bin_pairs, _invert_perm_payload
 
 
 @_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -474,14 +474,13 @@ def rasterize_pallas(
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
     overflow_k = min(overflow_k, P)
-    (pair_order, inv_order, sorted_tiles, starts, pair_rank,
-     pair_gidx, big_idx, big_ok) = _bin_pairs(
+    (pair_order, sorted_tiles, starts, pair_rank,
+     g_sorted, big_idx, big_ok) = _bin_pairs(
         means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
     )
     n_tiles = nx * ny
     n_pairs = pair_order.shape[0]
-    g_sorted = pair_gidx[pair_order]  # per sorted-pair slot, its gaussian
 
     # KB-aligned per-tile segments: Mosaic requires lane-dim DMA offsets to be
     # tiling-aligned, so each tile's segment starts at a multiple of KB.
@@ -494,14 +493,15 @@ def rasterize_pallas(
 
     d = jnp.arange(n_aligned, dtype=jnp.int32)
     # tile of each aligned slot: segments are KB-aligned, so resolve at chunk
-    # granularity (n_aligned/KB elements) and repeat — a full-resolution
-    # searchsorted over n_aligned slots costs ~300 ms at Mip-360 scale
+    # granularity (n_aligned/KB elements) and expand by gather — a
+    # full-resolution searchsorted over n_aligned slots costs ~300 ms and
+    # jnp.repeat ~23 ms at Mip-360 scale; the chunk-table gather is ~2 ms
     chunk_astarts = astarts // KB  # [n_tiles + 1]
     c = jnp.arange(n_aligned // KB, dtype=jnp.int32)
     tile_of_chunk = jnp.clip(
         jnp.searchsorted(chunk_astarts, c, side="right") - 1, 0, n_tiles - 1
     ).astype(jnp.int32)
-    tile_of_d = jnp.repeat(tile_of_chunk, KB, total_repeat_length=n_aligned)
+    tile_of_d = tile_of_chunk[d // KB]
     rank_d = d - astarts[tile_of_d]
     slot_ok = (rank_d >= 0) & (rank_d < counts[tile_of_d])
     src_pair = jnp.where(
@@ -509,17 +509,19 @@ def rasterize_pallas(
     )  # sorted-pair index
     src_gidx = jnp.where(slot_ok, g_sorted[src_pair], 0)
 
-    # transpose map: each PRE-SORT pair j sits at sorted slot inv_order[j];
-    # its tile/rank give the aligned destination
-    tile_of_pair = sorted_tiles[inv_order]
-    rank_of_pair = pair_rank[inv_order]
-    pair_ok = tile_of_pair < n_tiles
-    d_of_pair = jnp.where(
-        pair_ok,
-        astarts[jnp.minimum(tile_of_pair, n_tiles - 1)] + jnp.minimum(rank_of_pair, n_aligned - 1),
-        0,
+    # transpose map: aligned destination of each PRE-SORT pair, via ONE
+    # key-value sort carrying the sorted slot's destination as payload
+    # (replaces inv_order + two 2.4M-row gathers)
+    valid_sorted = sorted_tiles < n_tiles
+    d_of_sorted = jnp.where(
+        valid_sorted,
+        astarts[jnp.minimum(sorted_tiles, n_tiles - 1)]
+        + jnp.minimum(pair_rank, n_aligned - 1),
+        -1,
     )
-    d_of_pair = jnp.clip(d_of_pair, 0, n_aligned - 1)
+    d_signed = _invert_perm_payload(pair_order, d_of_sorted)
+    pair_ok = d_signed >= 0
+    d_of_pair = jnp.clip(d_signed, 0, n_aligned - 1)
 
     aligned = _aligned_gather(records, src_gidx, d_of_pair, pair_ok,
                               big_idx, big_ok, t_max, t_max_big)

@@ -111,7 +111,10 @@ def _window(x, starts, pair_tile, pair_rank, k_max):
     idx = starts[:-1][:, None] + k[None, :]
     valid = k[None, :] < counts[:, None]
     idx = jnp.minimum(idx, x.shape[0] - 1)
-    return jnp.where(valid[..., None], x[idx], 0.0)
+    # flat 1D row gather: XLA lowers a [n_tiles, k_max] 2D-index gather ~7x
+    # slower than the equivalent flat gather (measured 56 ms vs 8 ms for 72 MB)
+    rows = x[idx.reshape(-1)].reshape(n_tiles, k_max, x.shape[-1])
+    return jnp.where(valid[..., None], rows, 0.0)
 
 
 def _window_fwd(x, starts, pair_tile, pair_rank, k_max):
@@ -126,7 +129,8 @@ def _window_bwd(k_max, res, g):
     ok = (pair_tile < n_tiles) & (pair_rank < k_max)
     t = jnp.where(ok, pair_tile, 0)
     r = jnp.where(ok, pair_rank, 0)
-    dx = jnp.where(ok[:, None], g[t, r], 0.0)
+    flat = g.reshape(-1, g.shape[-1])  # flat row gather (see _window)
+    dx = jnp.where(ok[:, None], flat[t * k_max + r], 0.0)
     return dx, None, None, None
 
 
@@ -167,9 +171,10 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     the CUDA reference's uncapped binning is matched for any practical scene
     (artifacts only beyond overflow_k simultaneous giant gaussians).
 
-    Returns (pair_order, inv_order, sorted_tiles, starts, pair_rank,
-    pair_gidx, big_idx, big_ok) — all index-space, differentiability-free.
-    ``pair_gidx`` maps PRE-SORT pair slots to depth-ordered gaussian indices.
+    Returns (pair_order, sorted_tiles, starts, pair_rank, gidx_sorted,
+    big_idx, big_ok) — all index-space, differentiability-free.
+    ``gidx_sorted`` maps SORTED pair slots to depth-ordered gaussian indices;
+    use _invert_perm_payload(pair_order, ...) for pre-sort-indexed maps.
     """
     P = means2d.shape[0]
     overflow_k = min(overflow_k, P)
@@ -197,24 +202,28 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
 
     n_tiles = nx * ny
     tile_ids = jnp.concatenate([main_ids.reshape(-1), big_ids.reshape(-1)])
+    n_main = P * t_max
+    n_pairs = n_main + overflow_k * t_max_big
+    # gaussian index per pre-sort pair slot: iota arithmetic for the regular
+    # block (jnp.repeat measured ~23 ms at this scale vs ~0 for iota math),
+    # a tiny table gather for the overflow block
     pair_gidx = jnp.concatenate(
         [
-            jnp.repeat(jnp.arange(P, dtype=jnp.int32), t_max,
-                       total_repeat_length=P * t_max),
-            jnp.repeat(big_idx.astype(jnp.int32), t_max_big,
-                       total_repeat_length=overflow_k * t_max_big),
+            jnp.arange(n_main, dtype=jnp.int32) // t_max,
+            big_idx.astype(jnp.int32)[
+                jnp.arange(overflow_k * t_max_big, dtype=jnp.int32) // t_max_big
+            ],
         ]
     )
 
-    # two-pass stable sort (tile major, depth minor): the overflow block is
-    # APPENDED after the main pairs, so pre-sort position alone no longer
-    # encodes depth order — sort by gaussian depth rank first, then stable by
-    # tile id (a composed (tile, depth) radix sort without 64-bit keys)
-    perm1 = jnp.argsort(pair_gidx, stable=True)
-    perm2 = jnp.argsort(tile_ids[perm1], stable=True)
-    pair_order = perm1[perm2]
-    inv_order = jnp.argsort(pair_order)
-    sorted_tiles = tile_ids[pair_order]
+    # ONE 2-key stable sort (tile major, gaussian depth rank minor) — the
+    # composed (tile | depth) radix sort of the CUDA rasterizer without 64-bit
+    # keys. Gaussians are depth-ordered, so pair_gidx IS the depth rank; two
+    # pairs in the same tile never share a gaussian, so ties don't matter.
+    iota = jnp.arange(n_pairs, dtype=jnp.int32)
+    sorted_tiles, gidx_sorted, pair_order = jax.lax.sort(
+        (tile_ids, pair_gidx, iota), num_keys=2, is_stable=True
+    )
     starts = jnp.searchsorted(
         sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -222,8 +231,18 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
         jnp.minimum(sorted_tiles, n_tiles - 1)
     ]
     pair_rank = jnp.where(sorted_tiles < n_tiles, pair_rank, jnp.int32(1 << 30))
-    return (pair_order, inv_order, sorted_tiles, starts, pair_rank,
-            pair_gidx, big_idx, big_ok)
+    return (pair_order, sorted_tiles, starts, pair_rank,
+            gidx_sorted, big_idx, big_ok)
+
+
+def _invert_perm_payload(perm: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:
+    """out[perm[s]] = payload[s], scatter-free (one key-value sort).
+
+    With payload = d_of_sorted this transposes a sorted-slot property onto
+    pre-sort pair indices; with payload = iota it yields the inverse perm.
+    """
+    _, out = jax.lax.sort((perm, payload), num_keys=1)
+    return out
 
 
 def rasterize_tiled(
@@ -262,12 +281,14 @@ def rasterize_tiled(
     radii_f = proj.radii[order].astype(means2d.dtype)
     vis = visible[order]
 
-    (pair_order, inv_order, sorted_tiles, starts, pair_rank,
-     pair_gidx, big_idx, big_ok) = _bin_pairs(
+    (pair_order, sorted_tiles, starts, pair_rank,
+     gidx_sorted, big_idx, big_ok) = _bin_pairs(
         means2d, radii_f, vis, nx, ny, tile, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
     )
-    gidx_sorted = pair_gidx[pair_order]
+    inv_order = _invert_perm_payload(
+        pair_order, jnp.arange(pair_order.shape[0], dtype=jnp.int32)
+    )
     sorted_records = _pair_gather(records, gidx_sorted, inv_order, big_idx,
                                   big_ok, t_max, t_max_big)
     windowed = _window(sorted_records, starts, sorted_tiles, pair_rank, k_max)

@@ -4,12 +4,21 @@ SSIM matches /root/reference/utils/loss_utils.py:25-83: 11x11 Gaussian window
 (sigma=1.5), zero ("same") padding, per-channel depthwise convolution,
 C1=0.01^2, C2=0.03^2. PSNR matches /root/reference/utils/image_utils.py:19-23.
 
-The depthwise convolutions compile to fused XLA convs; a [3,H,W] image is a
-single conv_general_dilated call with feature_group_count=3.
+TPU implementation: the Gaussian window is separable (outer(g, g)), so the
+blur is two 1D convolutions — expressed as band-matrix matmuls that run on
+the MXU instead of depthwise convs (XLA lowers 11x11 depthwise convs to ~121
+shifted-add VPU passes: measured 63 ms fwd+bwd at 1232x816 vs 6.4 ms for the
+band-matmul form, identical values). All five blurred moments are computed in
+one stacked [15, H, W] pass. HIGHEST precision is essential on TPU: the
+default bf16 passes make sigma = conv(x^2) - mu^2 cancel into +-1e-3 noise in
+flat regions, overwhelming C2 = 9e-4 (observed SSIM > 16 during training).
 """
 
 from __future__ import annotations
 
+import functools
+
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -21,36 +30,49 @@ def _gaussian_window(window_size: int, sigma: float) -> jnp.ndarray:
     return jnp.outer(g, g)
 
 
-def _depthwise_conv(img: jnp.ndarray, kernel2d: jnp.ndarray) -> jnp.ndarray:
-    """img [C,H,W], kernel2d [k,k] -> same-padded depthwise conv [C,H,W]."""
-    c = img.shape[0]
-    k = kernel2d.shape[0]
-    kern = jnp.broadcast_to(kernel2d, (c, 1, k, k))
-    # HIGHEST precision is essential on TPU: the default bf16 conv makes
-    # sigma = conv(x^2) - mu^2 cancel into +-1e-3 noise in flat regions,
-    # overwhelming C2 = 9e-4 and exploding the SSIM map (observed SSIM > 16
-    # during training, corrupting the DSSIM loss term).
-    out = jax.lax.conv_general_dilated(
-        img[None],
-        kern,
-        window_strides=(1, 1),
-        padding=[(k // 2, k // 2), (k // 2, k // 2)],
-        dimension_numbers=("NCHW", "OIHW", "NCHW"),
-        feature_group_count=c,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return out[0]
+@functools.lru_cache(maxsize=32)
+def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
+    """[n, n] zero-padded 1D Gaussian blur as a band matrix.
+
+    Returns numpy (NOT a jax array): the cache outlives any single trace, and
+    a device constant created inside one jit scope would leak into the next.
+    """
+    xs = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-np.square(xs - window_size // 2) / (2.0 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    half = window_size // 2
+    m = np.zeros((n, n), np.float32)
+    i = np.arange(n)
+    for o in range(-half, half + 1):
+        j = i + o
+        ok = (j >= 0) & (j < n)
+        m[i[ok], j[ok]] = g[o + half]
+    return m
+
+
+def _blur(stack: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of [B, H, W] via two MXU band matmuls."""
+    h, w = stack.shape[-2], stack.shape[-1]
+    bh = jnp.asarray(_band_matrix(h, window_size, sigma))
+    bw = jnp.asarray(_band_matrix(w, window_size, sigma))
+    y = jnp.einsum("bhw,hk->bkw", stack, bh,
+                   precision=jax.lax.Precision.HIGHEST)
+    return jnp.einsum("bkw,wj->bkj", y, bw,
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
     """Mean SSIM of two [C,H,W] images in [0,1]."""
-    window = _gaussian_window(window_size, 1.5).astype(img1.dtype)
-    mu1 = _depthwise_conv(img1, window)
-    mu2 = _depthwise_conv(img2, window)
+    c = img1.shape[0]
+    stack = jnp.concatenate(
+        [img1, img2, img1 * img1, img2 * img2, img1 * img2], axis=0
+    )
+    bl = _blur(stack, window_size, 1.5)
+    mu1, mu2 = bl[0:c], bl[c:2 * c]
     mu1_sq, mu2_sq, mu1_mu2 = mu1 * mu1, mu2 * mu2, mu1 * mu2
-    sigma1_sq = _depthwise_conv(img1 * img1, window) - mu1_sq
-    sigma2_sq = _depthwise_conv(img2 * img2, window) - mu2_sq
-    sigma12 = _depthwise_conv(img1 * img2, window) - mu1_mu2
+    sigma1_sq = bl[2 * c:3 * c] - mu1_sq
+    sigma2_sq = bl[3 * c:4 * c] - mu2_sq
+    sigma12 = bl[4 * c:5 * c] - mu1_mu2
     c1, c2 = 0.01**2, 0.03**2
     ssim_map = ((2 * mu1_mu2 + c1) * (2 * sigma12 + c2)) / (
         (mu1_sq + mu2_sq + c1) * (sigma1_sq + sigma2_sq + c2)

@@ -64,7 +64,6 @@ def make_sharded_pose_step(mesh: Mesh, optimizer: optax.GradientTransformation):
     -> (id_params, opt_state, aux).
     """
     batch_s, rays_s, rep = pose_shardings(mesh)
-    rep_tree = lambda tree: jax.tree.map(lambda _: rep, tree)
 
     def step(id_params, opt_state, dino_params, batch, rays, model_up):
         (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
@@ -75,26 +74,14 @@ def make_sharded_pose_step(mesh: Mesh, optimizer: optax.GradientTransformation):
         id_params = optax.apply_updates(id_params, updates)
         return id_params, opt_state, aux
 
-    def jitted(id_params, opt_state, dino_params, batch, rays, model_up):
-        fn = jax.jit(
-            step,
-            in_shardings=(
-                rep_tree(id_params),
-                rep_tree(opt_state),
-                rep_tree(dino_params),
-                batch_s,
-                rays_s,
-                rep,
-            ),
-            out_shardings=(rep_tree(id_params), rep_tree(opt_state), rep_tree_aux()),
-            donate_argnums=(0, 1),
-        )
-        return fn(id_params, opt_state, dino_params, batch, rays, model_up)
-
-    def rep_tree_aux():
-        return {"loss": rep, "loss_score": rep, "cam_up": rep, "n_nan": rep}
-
-    return jitted
+    # jit built ONCE: a bare NamedSharding is a valid prefix-pytree for whole
+    # subtrees, so no per-call tree introspection (or re-wrap) is needed
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, rep, batch_s, rays_s, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
 
 
 def make_sharded_pose_step_cached(mesh: Mesh, optimizer: optax.GradientTransformation):
@@ -106,9 +93,6 @@ def make_sharded_pose_step_cached(mesh: Mesh, optimizer: optax.GradientTransform
         fmap=NamedSharding(mesh, P("data", None, None, None)),
         c2w=NamedSharding(mesh, P("data", None, None)),
     )
-    rep_tree = lambda tree: jax.tree.map(lambda _: rep, tree)
-    aux_s = {"loss": rep, "loss_score": rep, "cam_up": rep, "n_nan": rep}
-
     def step(id_params, opt_state, fbatch, rays, model_up):
         (loss, aux), grads = jax.value_and_grad(batch_loss_cached, has_aux=True)(
             id_params, fbatch, rays, model_up
@@ -120,18 +104,12 @@ def make_sharded_pose_step_cached(mesh: Mesh, optimizer: optax.GradientTransform
         id_params = optax.apply_updates(id_params, updates)
         return id_params, opt_state, aux
 
-    def jitted(id_params, opt_state, fbatch, rays, model_up):
-        fn = jax.jit(
-            step,
-            in_shardings=(
-                rep_tree(id_params), rep_tree(opt_state), fb_s, rays_s, rep,
-            ),
-            out_shardings=(rep_tree(id_params), rep_tree(opt_state), aux_s),
-            donate_argnums=(0, 1),
-        )
-        return fn(id_params, opt_state, fbatch, rays, model_up)
-
-    return jitted
+    return jax.jit(
+        step,
+        in_shardings=(rep, rep, fb_s, rays_s, rep),
+        out_shardings=(rep, rep, rep),
+        donate_argnums=(0, 1),
+    )
 
 
 def shard_feature_inputs(mesh: Mesh, fbatch: FeatureBatch, rays: Rays):

@@ -2,7 +2,9 @@
 
 Parity with /root/reference/pose_estimation/test.py:85-218, including the
 behavioral quirks that shape the reported metrics:
-  * rays with duplicated origins among the top-k are dropped (:157-162),
+  * the duplicate-origin filter replicates torch.isin(...).any(dim=1)'s
+    COORDINATE-level membership semantics, not a strict row-unique test
+    (:157-162),
   * the LS solve is UNWEIGHTED even though weights are computed (:169-179 —
     the weights argument is commented out), and is re-run unchanged after the
     negative-ray exclusion (only the watch-direction weights change),
@@ -55,11 +57,28 @@ def solve_pose(
     ori = rays_ori[idx]
     dirs = rays_dir[idx]
 
-    # drop duplicated origins (test.py:157-162): keep rays whose origin
-    # appears exactly once among the k
+    # duplicate-origin filter with the reference's exact (buggy-loose)
+    # semantics (test.py:157-162): torch.isin(rays_ori[idx],
+    # unique_once_rows, assume_unique=True).any(dim=1). Because the inputs are
+    # NOT unique, torch's sort-based isin marks a coordinate True iff it has
+    # an equal at a LATER flattened position of the query, or an equal
+    # anywhere in the unique-row coordinate pool; a ray survives if any of
+    # its 3 origin coordinates is marked. Verified bit-exact vs the imported
+    # reference logic in tests/test_pose_modules.py. Replicated because it
+    # shapes the reported pose metrics (SURVEY §7.3(5)).
+    finite = jnp.isfinite(weights)
     same = jnp.all(jnp.abs(ori[:, None, :] - ori[None, :, :]) == 0.0, axis=-1)
-    counts = jnp.sum(same, axis=-1)
-    keep = (counts == 1) & jnp.isfinite(weights)
+    counts = jnp.sum(jnp.where(finite[None, :], same, False), axis=-1)
+    single = (counts == 1) & finite
+    flat = ori.reshape(-1)  # [k*3] query coords, flattened row-major
+    kf = flat.shape[0]
+    flat_finite = jnp.repeat(finite, 3, total_repeat_length=kf)
+    pos = jnp.arange(kf)
+    eq = (flat[:, None] == flat[None, :]) & flat_finite[None, :]
+    later_dup = jnp.any(eq & (pos[None, :] > pos[:, None]), axis=1)
+    pool_valid = jnp.repeat(single, 3, total_repeat_length=kf)
+    in_pool = jnp.any(eq & pool_valid[None, :], axis=1)
+    keep = jnp.any((later_dup | in_pool).reshape(-1, 3), axis=1) & finite
 
     w = jnp.where(keep, weights, 0.0)
     w = w / jnp.sum(w)

@@ -176,6 +176,7 @@ class PoseTrainer:
         self.key = jax.random.key(seed)
         self.model_up = jnp.asarray(model_up_from_cameras(train_cam_infos))
         self.rays: Optional[Rays] = None
+        self.running_loss = 0.0
         # host-side cache of composited images/masks
         self._img_cache = [prepare_image_mask(c) for c in train_cam_infos]
         # frozen-backbone feature cache: the reference recomputes DINO features
@@ -222,10 +223,17 @@ class PoseTrainer:
         )
 
     def run(self, n_iterations: Optional[int] = None, start_iteration: int = 0,
-            callback=None, log_every: int = 20):
+            callback=None, log_every: int = 20, test_cam_infos=None,
+            writer=None, validate_every: Optional[int] = None):
+        """Train; every ``validate_every`` (cfg.val_every_n_iterations) steps,
+        evaluate train + test cameras in target-score mode and log val
+        translation/angular/recall — the reference's in-training validation
+        (/root/reference/pose_estimation/train.py:214-303, where loss_fn is
+        passed so the solver runs on ground-truth scores, test.py:137-142)."""
         cfg = self.cfg
         n_iterations = n_iterations if n_iterations is not None else cfg.n_iterations
-        running = 0.0
+        validate_every = (validate_every if validate_every is not None
+                          else cfg.val_every_n_iterations)
         for it in range(start_iteration, n_iterations):
             if it % cfg.renewal_every_n_iterations == 0 or self.rays is None:
                 self._regen_rays()
@@ -240,28 +248,89 @@ class PoseTrainer:
                     self.id_params, self.opt_state, self.dino_params, batch,
                     self.rays, self.model_up, optimizer=self.optimizer,
                 )
-            running += float(aux["loss"])
+            self.running_loss += float(aux["loss"])
             if callback is not None and (it % log_every == log_every - 1):
                 callback(it, jax.device_get(aux), self)
+            if writer is not None and (it % log_every == log_every - 1):
+                a = jax.device_get(aux)
+                writer.scalar("id_module/loss", float(a["loss"]), it)
+                writer.scalar("id_module/loss_score", float(a["loss_score"]), it)
+                writer.scalar("id_module/cam_up_loss", float(a["cam_up"]), it)
+            if validate_every and (it % validate_every == validate_every - 1):
+                self.validate(it, test_cam_infos=test_cam_infos, writer=writer)
         return self.id_params
 
-    def save_checkpoint(self, path: str, epoch: int) -> None:
-        """npz checkpoint {epoch, id_params} (id_module.th analogue)."""
+    def validate(self, iteration: int, test_cam_infos=None, writer=None,
+                 max_images: Optional[int] = None):
+        """train.py:214-303 analogue: target-score solve on train/test views."""
+        from sixdgs_tpu.pose.evaluate import test_pose_estimation
+
+        out = {}
+        splits = [("train_imgs", self.train_cam_infos)]
+        if test_cam_infos:
+            splits.append(("validation_imgs", test_cam_infos))
+        for tag, infos in splits:
+            infos = infos[:max_images] if max_images else infos
+            _, t_err, a_err, loss_score, recall, _ = test_pose_estimation(
+                infos, self.dino_params, self.id_params, self.rays,
+                self.model_up, use_target_scores=True,
+                k=self.cfg.rays_to_output,
+            )
+            out[tag] = {"translation_error": t_err, "angular_error": a_err,
+                        "loss_score": loss_score, "recall": recall}
+            if writer is not None:
+                writer.scalar(f"{tag}/translation_error", t_err, iteration)
+                writer.scalar(f"{tag}/angular_error", a_err, iteration)
+                writer.scalar(f"{tag}/recall", recall, iteration)
+                writer.scalar(f"{tag}/loss_score", loss_score, iteration)
+        return out
+
+    @staticmethod
+    def _key_name(k) -> str:
+        for attr in ("key", "idx", "name"):  # DictKey / SequenceKey / GetAttrKey
+            if hasattr(k, attr):
+                return str(getattr(k, attr))
+        return str(k)
+
+    @classmethod
+    def _flat_tree(cls, tree, prefix: str):
         flat = {}
-        leaves = jax.tree_util.tree_flatten_with_path(self.id_params)[0]
+        for keypath, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]:
+            name = "/".join(cls._key_name(k) for k in keypath)
+            flat[prefix + name] = np.asarray(leaf)
+        return flat
+
+    @classmethod
+    def _unflat_tree(cls, data, template, prefix: str):
+        leaves, treedef = jax.tree_util.tree_flatten_with_path(template)
+        new_leaves = []
         for keypath, leaf in leaves:
-            name = "/".join(str(k.key if hasattr(k, "key") else k.idx) for k in keypath)
-            flat["param:" + name] = np.asarray(leaf)
+            name = "/".join(cls._key_name(k) for k in keypath)
+            new_leaves.append(jnp.asarray(data[prefix + name]))
+        return jax.tree_util.tree_unflatten(treedef, new_leaves)
+
+    def save_checkpoint(self, path: str, epoch: int) -> None:
+        """Full-state npz checkpoint — the id_module.th analogue with the
+        reference's exact contents {epoch, model state, optimizer state,
+        running_loss} (/root/reference/pose_estimation/train.py:309-317)."""
+        flat = self._flat_tree(self.id_params, "param:")
+        flat.update(self._flat_tree(self.opt_state, "opt:"))
         flat["epoch"] = np.asarray(epoch)
+        flat["running_loss"] = np.asarray(self.running_loss, np.float64)
         np.savez(path, **flat)
+
+    def restore_checkpoint(self, path: str) -> int:
+        """Resume params + Adafactor state + running_loss; returns epoch."""
+        data = np.load(path)
+        self.id_params = self._unflat_tree(data, self.id_params, "param:")
+        if any(k.startswith("opt:") for k in data.files):
+            self.opt_state = self._unflat_tree(data, self.opt_state, "opt:")
+        self.running_loss = float(data["running_loss"]) if "running_loss" in data.files else 0.0
+        return int(data["epoch"])
 
     @staticmethod
     def load_checkpoint(path: str, template_params):
+        """Params-only load (inference path)."""
         data = np.load(path)
-        leaves, treedef = jax.tree_util.tree_flatten_with_path(template_params)
-        new_leaves = []
-        for keypath, leaf in leaves:
-            name = "/".join(str(k.key if hasattr(k, "key") else k.idx) for k in keypath)
-            new_leaves.append(jnp.asarray(data["param:" + name]))
-        params = jax.tree_util.tree_unflatten(treedef, new_leaves)
+        params = PoseTrainer._unflat_tree(data, template_params, "param:")
         return params, int(data["epoch"])

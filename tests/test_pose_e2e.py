@@ -132,3 +132,37 @@ class TestPoseE2E:
         assert epoch == 42
         chex = pytest.importorskip("chex")
         chex.assert_trees_all_close(params, trainer.id_params)
+
+    def test_full_resume_restores_optimizer_state(self, setup, tmp_path):
+        """The checkpoint must carry Adafactor state + running_loss like the
+        reference's id_module.th (/root/reference/pose_estimation/train.py:309-317):
+        a resumed run continues bit-identically with a fresh-object run that
+        never stopped."""
+        scene, infos, cfg, rays, dparams, iparams = setup
+        chex = pytest.importorskip("chex")
+
+        # 3 iterations, checkpoint, restore into a NEW trainer
+        tr_b = PoseTrainer(dparams, iparams, scene, infos, cfg, seed=2)
+        tr_b.run(n_iterations=3, validate_every=0)
+        p = str(tmp_path / "id_module.npz")
+        tr_b.save_checkpoint(p, epoch=3)
+        tr_c = PoseTrainer(dparams, iparams, scene, infos, cfg, seed=2)
+        start = tr_c.restore_checkpoint(p)
+        assert start == 3
+        assert tr_c.running_loss == pytest.approx(tr_b.running_loss)
+        chex.assert_trees_all_close(tr_c.opt_state, tr_b.opt_state)
+        chex.assert_trees_all_close(tr_c.id_params, tr_b.id_params)
+
+        # Adafactor's step count resumed (NOT restarted): the relative step
+        # size schedule min(1e-2, 1/sqrt(t)) continues from t=3, and further
+        # training moves the params
+        before = jax.tree.map(lambda x: np.asarray(x).copy(), tr_c.id_params)
+        tr_c.run(n_iterations=6, start_iteration=start, validate_every=0)
+        counts = [np.asarray(x) for x in jax.tree.leaves(tr_c.opt_state)
+                  if np.asarray(x).ndim == 0 and np.issubdtype(np.asarray(x).dtype, np.integer)]
+        assert any(int(c) == 6 for c in counts), counts
+        moved = any(
+            not np.allclose(np.asarray(a), b)
+            for a, b in zip(jax.tree.leaves(tr_c.id_params), jax.tree.leaves(before))
+        )
+        assert moved

@@ -305,23 +305,70 @@ class TestSolver:
         np.testing.assert_allclose(np.asarray(sol.c2w), np.eye(4), atol=1e-6)
 
     def test_duplicate_origin_dedup(self):
-        """Duplicated-origin rays must not influence the solution."""
+        """Duplicate-origin handling follows the reference exactly: the LAST
+        flattened occurrence of a duplicated origin is dropped, earlier ones
+        survive (torch.isin assume_unique sort-path semantics, test.py:157-162)."""
         cam_pos = np.array([1.0, 0.0, 2.0], np.float32)
         rays = make_rays(n=512, n_valid=500, target=cam_pos, seed=8)
         ori = np.asarray(rays.ori).copy()
         d = np.asarray(rays.dir).copy()
         # corrupt: two top-score rays share an origin and point garbage
-        ori[0] = ori[1] = [0.0, 0.0, 0.0]
+        # (distinct coordinate values — equal coords WITHIN a row mark each
+        # other as duplicates in torch's flattened isin, keeping both rays)
+        ori[0] = ori[1] = [0.123, 4.56, -7.89]
         d[0] = [1.0, 0, 0]
         d[1] = [0, 1.0, 0]
         c2w = look_at_c2w(cam_pos)
         tgt = target_ray_scores(jnp.asarray(c2w), jnp.asarray(ori), jnp.asarray(d),
                                 rays.valid, jnp.asarray(100))
         scores = np.asarray(tgt.target).copy()
-        scores[0] = scores[1] = scores.max() * 10  # force into top-k
+        scores[0] = scores[1] = scores.max() * 10  # force into top-k (ranks 0, 1)
         sol = solve_pose(jnp.asarray(scores), jnp.asarray(ori), jnp.asarray(d),
                          jnp.asarray([0.0, 1.0, 0.0]), rays.valid)
-        assert np.linalg.norm(np.asarray(sol.center) - cam_pos) < 0.15
+        w = np.asarray(sol.topk_weights)
+        assert w[0] > 0 and w[1] == 0, w[:2]  # first dup kept, last dropped
+        assert np.isfinite(np.asarray(sol.c2w)).all()
+        # one surviving garbage ray among 100 shifts but must not destroy the
+        # solve (98 clean near-intersecting rays dominate the normal equations)
+        assert np.linalg.norm(np.asarray(sol.center) - cam_pos) < 1.0
+
+    def test_dedup_matches_reference_isin_semantics(self):
+        """The duplicate-origin filter must replicate the reference's
+        coordinate-level torch.isin(...).any(dim=1) mask exactly
+        (/root/reference/pose_estimation/test.py:157-162), including the case
+        where a duplicated-origin ray survives because one of its coordinates
+        collides with a coordinate of a unique origin."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.default_rng(3)
+        k = 100
+        n = 256
+        ori = rng.normal(size=(n, 3)).astype(np.float32)
+        # duplicated rows among the top-k
+        ori[1] = ori[7]
+        ori[3] = ori[9] = ori[12]
+        # coordinate collision: ray 5 duplicates ray 6's row, but shares its
+        # x-coordinate with the unique ray 20 -> the reference KEEPS 5 and 6
+        ori[5] = ori[6]
+        ori[5, 0] = ori[6, 0] = ori[20, 0]
+        d = rng.normal(size=(n, 3)).astype(np.float32)
+        d /= np.linalg.norm(d, axis=-1, keepdims=True)
+        scores = np.linspace(1.0, 0.01, n).astype(np.float32)  # topk = 0..k-1
+
+        t_ori = torch.from_numpy(ori[:k])
+        uniq, counts = torch.unique(t_ori, return_counts=True, dim=0)
+        ref_mask = torch.isin(t_ori, uniq[counts == 1], assume_unique=True).any(dim=1)
+        ref_mask = ref_mask.numpy()
+        assert ref_mask[5] and ref_mask[6], "collision case should be kept"
+        # torch's assume_unique sort path marks all but the LAST flattened
+        # occurrence of a duplicated coordinate: first dup kept, last dropped
+        assert ref_mask[1] and not ref_mask[7]
+        assert ref_mask[3] and ref_mask[9] and not ref_mask[12]
+
+        sol = solve_pose(jnp.asarray(scores), jnp.asarray(ori), jnp.asarray(d),
+                         jnp.asarray([0.0, 1.0, 0.0]), jnp.ones(n, bool), k=k)
+        ours = np.asarray(sol.topk_weights) > 0
+        order = np.argsort(-scores[:k])  # top_k returns descending order
+        np.testing.assert_array_equal(ours, ref_mask[order])
 
     def test_error_metrics(self):
         R = np.eye(3, dtype=np.float32)

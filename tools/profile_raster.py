@@ -108,9 +108,9 @@ def main():
         bin_fn = jax.jit(lambda m, r, v: T._bin_pairs(m, r, v, nx, ny, 16, 16))
         out = jax.block_until_ready(bin_fn(means2d, radii_f, vis))
         n_pairs = out[0].shape[0]
-        starts = out[3]
+        starts = out[2]
         counts = np.asarray(starts[1:] - starts[:-1])
-        real = int(np.asarray(jnp.sum(out[2] < nx * ny)))
+        real = int(np.asarray(jnp.sum(out[1] < nx * ny)))
         print(f"bin_pairs (incl 2 sorts + searchsorted): {timeit(bin_fn, means2d, radii_f, vis):8.2f} ms  "
               f"[pair slots {n_pairs}, real pairs {real}, max/tile {counts.max()}]")
 
