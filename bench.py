@@ -5,7 +5,10 @@ the full ray budget + patches x rays attention scoring + top-100 solve +
 pose assembly (the reference's per-image eval loop,
 /root/reference/pose_estimation/test.py:46-218, which it times at
 test.py:304-311). North-star target: <= 50 ms/image on one TPU v5e
-(BASELINE.md). Prints ONE JSON line.
+(BASELINE.md). Prints ONE JSON line; besides the headline metric it carries
+per-kernel roofline accounting (achieved FLOP/s vs MXU peak for the fused
+attention kernel, achieved HBM GB/s vs peak for the compositing kernels) and
+the 3DGS train-step time at Mip-360 scale.
 """
 
 import json
@@ -15,14 +18,29 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
+# TPU v5e (1 chip) roofline constants
+V5E_PEAK_BF16_FLOPS = 197e12
+V5E_PEAK_F32_FLOPS = 49.2e12  # MXU f32 ~= bf16/4
+V5E_HBM_GBPS = 819.0
 
-def main():
+
+def timeit(fn, *args, n=20, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3  # ms
+
+
+def bench_pose(n_rays=32768):
+    """Headline: full single-image pose path, fused vs unfused."""
     from sixdgs_tpu.pose import dino
     from sixdgs_tpu.pose.evaluate import eval_image
     from sixdgs_tpu.pose.modules import init_id_module
     from sixdgs_tpu.rays.engine import Rays
 
-    n_rays = 32768  # reference default scene scale is ~25k rays (SURVEY §3.3)
     rng = np.random.default_rng(0)
     dino_params = dino.init_params(jax.random.key(0))
     id_params = init_id_module(jax.random.key(1))
@@ -40,38 +58,179 @@ def main():
     mask = jnp.asarray(np.ones((800, 800), bool))
     c2w = jnp.asarray(np.eye(4, dtype=np.float32))
 
-    def timed(fused):
-        def run():
-            return eval_image(dino_params, id_params, img, mask, c2w, rays,
-                              fused_attention=fused)
+    def run_unfused():
+        return eval_image(dino_params, id_params, img, mask, c2w, rays,
+                          fused_attention=False)
 
-        out = run()
-        jax.block_until_ready(out)  # compile
-        n_iter = 20
-        t0 = time.perf_counter()
-        for _ in range(n_iter):
-            out = run()
-        jax.block_until_ready(out)
-        return (time.perf_counter() - t0) / n_iter * 1000.0
+    def run_fused():
+        return eval_image(dino_params, id_params, img, mask, c2w, rays,
+                          fused_attention=True)
 
-    ms = timed(False)
+    ms = timeit(run_unfused)
     try:
-        ms_fused = timed(True)
-        ms = min(ms, ms_fused)
+        ms = min(ms, timeit(run_fused))
     except Exception:
         pass  # Pallas path unavailable on this backend
+    return ms, (id_params, rays)
 
-    target_ms = 50.0
-    print(
-        json.dumps(
-            {
-                "metric": "pose_estimation_latency",
-                "value": round(ms, 3),
-                "unit": "ms/image",
-                "vs_baseline": round(target_ms / ms, 3),
-            }
-        )
+
+def bench_attention_kernel(id_params, rays, n_patches=256, d=384):
+    """Fused attention-score kernel roofline: FLOPs are dominated by the
+    k-projection (2*N*d^2, twice: two streaming passes) and the QK^T logits
+    (2*P*N*d, twice). f32 on the MXU."""
+    from sixdgs_tpu.ops.attention_kernel import attention_scores_fused
+
+    rng = np.random.default_rng(3)
+    n_rays = rays.ori.shape[0]
+    q = jnp.asarray(rng.normal(size=(n_patches, d)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(n_rays, d)).astype(np.float32))
+    att = id_params["attention"]
+    pmask = jnp.ones(n_patches, bool)
+    valid = rays.valid
+
+    def run():
+        return attention_scores_fused(q, feats, att["k"]["w"], att["k"]["b"],
+                                      pmask, valid)
+
+    ms = timeit(run)
+    flops = 2 * (2 * n_rays * d * d + 2 * n_patches * n_rays * d)
+    tflops = flops / (ms * 1e-3) / 1e12
+    return {
+        "ms": round(ms, 3),
+        "tflops": round(tflops, 2),
+        "mfu_f32": round(tflops * 1e12 / V5E_PEAK_F32_FLOPS, 3),
+        "mfu_bf16_peak": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 3),
+    }
+
+
+def bench_compositing_kernel(P=131072, W=1232, H=816):
+    """Pallas compositing fwd kernel HBM roofline at Mip-360 scale: traffic is
+    the [16, N] record planes streamed once + per-tile color/trans outputs."""
+    from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
+    from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
+    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.scene.cameras import make_synthetic_camera
+    from sixdgs_tpu.train.gs_trainer import camera_arrays
+
+    rng = np.random.default_rng(0)
+    xyz = (rng.normal(size=(P, 3)) * 2.0 + [0, 0, 6]).astype(np.float32)
+    scaling = np.exp(rng.uniform(-5.2, -3.0, size=(P, 3)).astype(np.float32))
+    rot = rng.normal(size=(P, 4)).astype(np.float32)
+    opac = (1 / (1 + np.exp(-rng.uniform(-2, 2, size=P)))).astype(np.float32)
+    cov3d = build_covariance(jnp.asarray(scaling), jnp.asarray(rot))
+    cam = make_synthetic_camera(W, H, 0.9, 0.65, np.eye(3), np.zeros(3))
+    ca = camera_arrays(cam)
+    colors = jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32))
+    proj = project_gaussians(
+        jnp.asarray(xyz), cov3d, jnp.asarray(opac), ca.view, ca.full_proj,
+        ca.camera_center, W, H, ca.tan_fovx, ca.tan_fovy,
+        colors_precomp=colors,
     )
+    nx, ny = -(-W // PT.TILE), -(-H // PT.TILE)
+
+    # build the sorted compact record planes once (the glue), then time the
+    # kernel alone
+    from sixdgs_tpu.ops.rasterizer.tiles import _make_pair_keys, _permute
+
+    visible = proj.radii > 0
+    order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
+    inv = jnp.argsort(order)
+    records = _permute(
+        jnp.concatenate([proj.means2d, proj.conics, proj.colors,
+                         jnp.where(visible, proj.opacities, 0.0)[:, None]],
+                        axis=-1), order, inv)
+    tile_ids, pair_gidx, big_idx, _ = _make_pair_keys(
+        records[:, 0:2], proj.radii[order].astype(jnp.float32),
+        visible[order], nx, ny, PT.TILE, 16)
+    planes = PT._expand_presort_planes(records, big_idx, 16, 1024)
+    sorted_tiles, sorted_planes, _ = PT._sort_planes(tile_ids, pair_gidx, planes)
+    starts = jnp.searchsorted(
+        sorted_tiles, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)
+    counts = starts[1:] - starts[:-1]
+    n_pairs = tile_ids.shape[0]
+    rec_t = jnp.concatenate(
+        [jnp.stack(sorted_planes, axis=0),
+         jnp.zeros((PT.COLS - 9, n_pairs), jnp.float32)], axis=0)
+    rec_t, starts, counts = jax.block_until_ready((rec_t, starts, counts))
+
+    fwd = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+    ms = timeit(fwd, rec_t, starts, counts, n=10)
+    n_real = int(starts[-1])
+    bytes_moved = (PT.COLS * n_real * 4  # record planes streamed once
+                   + nx * ny * 4 * 256 * 4)  # color+trans tiles written
+    gbps = bytes_moved / (ms * 1e-3) / 1e9
+    return {
+        "ms": round(ms, 3),
+        "real_pairs": n_real,
+        "gbps": round(gbps, 1),
+        "hbm_util": round(gbps / V5E_HBM_GBPS, 3),
+    }
+
+
+def bench_train_step(P=131072, W=1232, H=816):
+    """3DGS train step (render fwd+bwd + loss + Adam + densify stats) at
+    Mip-360 scale — the reference CUDA rasterizer's hot loop."""
+    from sixdgs_tpu.scene.cameras import make_synthetic_camera
+    from sixdgs_tpu.scene.gaussians import from_arrays
+    from sixdgs_tpu.train.gs_trainer import (
+        camera_arrays, init_train_state, lr_dict, train_step,
+    )
+    from sixdgs_tpu.utils.config import OptimizationConfig
+
+    rng = np.random.default_rng(0)
+    arrs = {
+        "xyz": (rng.normal(size=(P, 3)) * 2.0 + [0, 0, 6]).astype(np.float32),
+        "features_dc": rng.normal(size=(P, 1, 3)).astype(np.float32) * 0.3,
+        "features_rest": np.zeros((P, 15, 3), np.float32),
+        "opacity": rng.uniform(-2, 2, size=(P, 1)).astype(np.float32),
+        "scaling": rng.uniform(-5.2, -3.0, size=(P, 3)).astype(np.float32),
+        "rotation": rng.normal(size=(P, 4)).astype(np.float32),
+    }
+    state = init_train_state(from_arrays(arrs, max_sh_degree=3, capacity=P))
+    cam = make_synthetic_camera(W, H, 0.9, 0.65, np.eye(3), np.zeros(3))
+    ca = camera_arrays(cam)._replace(
+        gt_image=jnp.asarray(rng.uniform(size=(3, H, W)), jnp.float32))
+    lrs = lr_dict(OptimizationConfig(), 1.0, 1000)
+
+    def step(s):
+        return train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
+                          sh_degree=3, rasterizer="auto")
+
+    for _ in range(3):
+        state, m = step(state)
+    jax.block_until_ready(m["loss"])
+    t0 = time.perf_counter()
+    n = 15
+    for _ in range(n):
+        state, m = step(state)
+    jax.block_until_ready(m["loss"])
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def main():
+    ms, (id_params, rays) = bench_pose()
+    target_ms = 50.0
+    result = {
+        "metric": "pose_estimation_latency",
+        "value": round(ms, 3),
+        "unit": "ms/image",
+        "vs_baseline": round(target_ms / ms, 3),
+    }
+    on_tpu = jax.default_backend() in ("tpu", "axon")
+    if on_tpu:
+        try:
+            result["attention_kernel"] = bench_attention_kernel(id_params, rays)
+        except Exception as e:  # pragma: no cover
+            result["attention_kernel"] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        try:
+            result["compositing_kernel"] = bench_compositing_kernel()
+        except Exception as e:  # pragma: no cover
+            result["compositing_kernel"] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        try:
+            result["gs_train_step_ms"] = round(bench_train_step(), 2)
+        except Exception as e:  # pragma: no cover
+            result["gs_train_step_ms"] = f"error: {type(e).__name__}: {e}"[:120]
+    print(json.dumps(result))
 
 
 if __name__ == "__main__":

@@ -42,10 +42,11 @@ def build_parser():
     parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--log_every", type=int, default=50)
     parser.add_argument("--capacity_bucket", type=int, default=16384)
-    parser.add_argument("--rasterizer", type=str, default="tiled",
-                        choices=["scan", "tiled", "pallas"],
-                        help="'tiled' (tile-binned, scales to large images) or "
-                        "'scan' (exact full-frame scan, small images)")
+    parser.add_argument("--rasterizer", type=str, default="auto",
+                        choices=["auto", "scan", "tiled", "pallas"],
+                        help="'auto' picks the Pallas kernels on TPU and the "
+                        "XLA tiled path elsewhere; 'scan' is the exact "
+                        "full-frame golden model for small images")
     parser.add_argument("--gui", action="store_true",
                         help="serve the SIBR remote viewer on --ip/--port "
                         "during training (reference network_gui parity)")

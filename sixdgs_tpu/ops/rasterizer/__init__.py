@@ -17,4 +17,15 @@ Three layers:
 from sixdgs_tpu.ops.rasterizer.projection import project_gaussians, ProjectedGaussians
 from sixdgs_tpu.ops.rasterizer.compositing import rasterize_scan
 
-__all__ = ["project_gaussians", "ProjectedGaussians", "rasterize_scan"]
+
+def resolve_rasterizer(name: str = "auto") -> str:
+    """'auto' -> the Pallas kernels on TPU, the XLA tiled path elsewhere."""
+    if name != "auto":
+        return name
+    import jax
+
+    return "pallas" if jax.default_backend() in ("tpu", "axon") else "tiled"
+
+
+__all__ = ["project_gaussians", "ProjectedGaussians", "rasterize_scan",
+           "resolve_rasterizer"]

@@ -1,14 +1,25 @@
 """Pallas tile-rasterizer kernels: forward + analytic backward.
 
-The jnp tiled path (tiles.py) leaves two structural costs on the table:
-  * windowed row-gathers of 36-byte records run far below HBM bandwidth,
-  * the compositing scan executes k_max slots for every tile.
+The jnp tiled path (tiles.py) and the round-1 aligned-layout glue both drown
+in XLA gathers: on TPU a 1D gather executes at ~7.5 ns/element and a row
+gather of per-pair records costs 50-80 ms at Mip-360 scale. Sorts, by
+contrast, are fast and payload-width-insensitive (2 keys + 10 f32 payloads of
+2.36M elements: 9.4 ms — barely above the 8.8 ms key-only sort). So this path
+contains NO large gathers:
 
-Here each tile's pair segment is CONTIGUOUS in the sorted record array, so a
-kernel instance (grid over tiles) streams its own segment with sequential DMA,
-composites its 16x16 pixels with a while-loop that stops at the segment's true
-length (no k_max truncation at all), and — in the backward — writes per-pair
-gradients back to its own disjoint segment rows (no atomics, no scatter).
+  1. per-gaussian records are EXPANDED to pre-sort pair slots by broadcast +
+     reshape (pure data formatting, ~150 GB/s; the VJP is a reshape-sum),
+  2. ONE 2-key sort (tile major, depth-rank minor) carries the 9 record
+     planes + the pre-sort index as payloads, producing per-tile depth-ordered
+     contiguous segments directly (custom VJP: a second payload sort routes
+     plane cotangents back to pre-sort order — scatter- and gather-free),
+  3. the kernels stream each tile's COMPACT segment [starts[t], starts[t]+
+     count) from the stacked [16, N] plane matrix; Mosaic lane-offset
+     alignment is handled in-kernel by DMAing the KB-aligned enclosing chunks
+     and masking the leading/trailing foreign lanes (adjacent tiles re-read
+     one boundary chunk each; the backward read-merge-writes its first chunk
+     so neighbours' gradients survive, relying on sequential grid execution —
+     dimension_semantics "arbitrary").
 
 Kernel structure per chunk of KB pairs:
   1. vectorized alpha: [KB, 256] from field columns broadcast against the
@@ -26,23 +37,18 @@ recovers everything from the forward's final (C, T) residuals. The early-stop
 rule (contribution only while T*(1-a) >= 1e-4, CUDA `done` ordering) replays
 identically, so stopped gaussians get zero grads.
 
-Record layout: transposed [16, N_aligned] f32 planes; per-tile segments are
-KB-aligned (Mosaic lane-dim DMA offsets must be tiling-aligned).
-Cols: 0:x 1:y 2:conA 3:conB 4:conC 5:r 6:g 7:b 8:opacity (9..15 padding);
-means are stored relative to the owning tile's origin. Gradients use the same
-layout.
+Record planes (rows of the [16, N] matrix; 9 live + 7 padding):
+0:x 1:y 2:conA 3:conB 4:conC 5:r 6:g 7:b 8:opacity. Means are ABSOLUTE pixel
+coordinates; each kernel instance subtracts its tile origin from rows 0-1
+before the MXU transpose so the bf16x3 split keeps ~1e-6 px accuracy.
 
-Measured on one v5e at Mip-360 scale (100k gaussians, 1232x816): the
-compositing kernels themselves are ~12 ms fwd; end-to-end
-fwd 135 ms / fwd+bwd 353 ms, currently bounded by the jnp glue (pair sorts +
-the 200 MB aligned-layout gathers and their gather-based transposes), not the
-kernels. The jnp tiled path (tiles.py) with its smaller windowed layout is
-244 ms fwd+bwd and remains the training default; this path has no k_max
-truncation and is the base for future glue optimization (bf16 record planes,
-fused binning).
+Replaces the diff-gaussian-rasterization CUDA submodule (interface
+reconstructed from /root/reference/gaussian_renderer/__init__.py:36-93).
 """
 
 from __future__ import annotations
+
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -50,19 +56,18 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from sixdgs_tpu.ops.rasterizer.compositing import ALPHA_MAX, ALPHA_MIN, T_EPS
+from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
+from sixdgs_tpu.ops.rasterizer.tiles import RECORD, _make_pair_keys, _permute
 
-COLS = 16  # padded record columns
-KB = 128  # pairs per DMA chunk
+COLS = 16  # padded record planes (sublane dim of the [16, N] matrix)
+KB = 128  # pairs per DMA chunk (lane-dim tiling alignment)
 SB = 8  # statically-unrolled compositing sub-block
 TILE = 16
 NPIX = TILE * TILE
 
 
-def _pixel_coords(tile_idx, nx):
-    """Tile-LOCAL pixel coords [1, 256]; records store means relative to the
-    tile origin, keeping values small so the MXU transpose (bf16x3 split)
-    stays exact to ~1e-6 of a pixel."""
-    del tile_idx, nx
+def _pixel_coords():
+    """Tile-LOCAL pixel coords [1, 256]."""
     lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
     px = (lin % TILE).astype(jnp.float32)
     py = (lin // TILE).astype(jnp.float32)
@@ -84,10 +89,18 @@ def _transpose_matmul(x, out_rows):
     )  # [out_rows, R]
 
 
-def _chunk_alpha(buf, px, py, remaining):
+def _localize(tbuf, t, nx):
+    """Subtract the tile origin from the mean rows of the [COLS, KB] chunk."""
+    ox = ((t % nx) * TILE).astype(jnp.float32)
+    oy = ((t // nx) * TILE).astype(jnp.float32)
+    tbuf[0:1, :] = tbuf[0:1, :] - ox
+    tbuf[1:2, :] = tbuf[1:2, :] - oy
+
+
+def _chunk_alpha(buf, px, py, lo, hi):
     """Vectorized per-chunk alphas [KB, 256] + intermediates.
 
-    buf: [KB, COLS] record rows for this chunk."""
+    buf: [KB, COLS] record rows for this chunk; valid lanes are [lo, hi)."""
     xs = buf[:, 0:1]
     ys = buf[:, 1:2]
     conA = buf[:, 2:3]
@@ -100,31 +113,43 @@ def _chunk_alpha(buf, px, py, remaining):
     g_raw = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opac * g_raw)
     k_ids = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0)
-    live = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k_ids < remaining)
+    live = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k_ids >= lo) & (k_ids < hi)
     alpha = jnp.where(live, alpha, 0.0)
     return alpha, g_raw, dx, dy, live
 
 
-def _fwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
+def _segment_bounds(start, count):
+    """(base, lead, n_chunks) for a compact segment [start, start+count)."""
+    base = pl.multiple_of((start // KB) * KB, KB)
+    lead = start - base
+    n_chunks = jnp.where(count > 0, pl.cdiv(lead + count, KB), 0)
+    return base, lead, n_chunks
+
+
+def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
                 trans_ref, tbuf, wbuf, abuf, sem):
     t = pl.program_id(0)
-    start = astarts_ref[t]  # KB-aligned segment start
-    count = counts_ref[t]  # true (unaligned) pair count
-    px, py = _pixel_coords(t, nx_ref[0])
-    n_chunks = pl.cdiv(count, KB)
+    start = starts_ref[t]
+    count = counts_ref[t]
+    base, lead, n_chunks = _segment_bounds(start, count)
+    px, py = _pixel_coords()
 
     def chunk_body(ci, carry):
         T, C, done = carry  # [1, 256], [3, 256], [1, 256]
         pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], tbuf, sem
+            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            tbuf, sem,
         ).start()
         pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], tbuf, sem
+            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            tbuf, sem,
         ).wait()
+        _localize(tbuf, t, nx_ref[0])
         buf = _transpose_matmul(tbuf[:], KB)  # [KB, COLS]
-        remaining = count - ci * KB
+        lo = jnp.maximum(lead - ci * KB, 0)
+        hi = lead + count - ci * KB
         wbuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
-        alpha, _, _, _, _ = _chunk_alpha(buf, px, py, remaining)
+        alpha, _, _, _, _ = _chunk_alpha(buf, px, py, lo, hi)
         abuf[:] = alpha  # row access needs a ref (Mosaic has no value dyn-slice)
 
         def sub_body(s, carry):
@@ -146,7 +171,7 @@ def _fwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
             wbuf[pl.ds(off, SB), :] = jnp.concatenate(w_rows, axis=0)
             return T, done
 
-        trip = (jnp.minimum(KB, remaining) + SB - 1) // SB
+        trip = (jnp.minimum(KB, hi) + SB - 1) // SB
         T, done = jax.lax.fori_loop(0, trip, sub_body, (T, done))
         colors = buf[:, 5:8]  # [KB, 3]
         C = C + jax.lax.dot_general(
@@ -169,13 +194,14 @@ def _fwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     trans_ref[0] = T
 
 
-def _bwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
+def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
                 trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, wbuf,
-                dabuf, abuf, dbuf, gbuf, sem, gsem):
+                dabuf, abuf, dbuf, gbuf, obuf, sem, gsem):
     t = pl.program_id(0)
-    start = astarts_ref[t]  # KB-aligned segment start
-    count = counts_ref[t]  # true pair count
-    px, py = _pixel_coords(t, nx_ref[0])
+    start = starts_ref[t]
+    count = counts_ref[t]
+    base, lead, n_chunks = _segment_bounds(start, count)
+    px, py = _pixel_coords()
 
     C_total = color_ref[0]  # [3, 256]
     T_fin = trans_ref[0]  # [1, 256]
@@ -184,21 +210,23 @@ def _bwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     dCC = jnp.sum(dC * C_total, axis=0, keepdims=True)  # [1, 256]
     dTT = dT * T_fin  # [1, 256]
 
-    n_chunks = pl.cdiv(count, KB)
-
     def chunk_body(ci, carry):
         T, acc, done = carry  # transmittance, prefix of <dC, c_j> w_j, done
         pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], tbuf, sem
+            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            tbuf, sem,
         ).start()
         pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], tbuf, sem
+            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            tbuf, sem,
         ).wait()
+        _localize(tbuf, t, nx_ref[0])
         buf = _transpose_matmul(tbuf[:], KB)  # [KB, COLS]
-        remaining = count - ci * KB
+        lo = jnp.maximum(lead - ci * KB, 0)
+        hi = lead + count - ci * KB
         wbuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
         dabuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
-        alpha, g_raw, dx, dy, live = _chunk_alpha(buf, px, py, remaining)
+        alpha, g_raw, dx, dy, live = _chunk_alpha(buf, px, py, lo, hi)
         abuf[:] = alpha
         colors = buf[:, 5:8]  # [KB, 3]
         dbuf[:] = jnp.dot(colors, dC, preferred_element_type=jnp.float32,
@@ -228,7 +256,7 @@ def _bwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
             dabuf[pl.ds(off, SB), :] = jnp.concatenate(da_rows, axis=0)
             return T, acc, done
 
-        trip = (jnp.minimum(KB, remaining) + SB - 1) // SB
+        trip = (jnp.minimum(KB, hi) + SB - 1) // SB
         T, acc, done = jax.lax.fori_loop(0, trip, sub_body, (T, acc, done))
 
         # vectorized chain rule over the chunk
@@ -260,12 +288,33 @@ def _bwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
              jnp.zeros((KB, COLS - 9), jnp.float32)],
             axis=1,
         )  # [KB, COLS]
-        gbuf[:] = _transpose_matmul(gvals, COLS)  # [COLS, KB]
+        lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
+        gnew = _transpose_matmul(gvals, COLS)  # [COLS, KB]
+        # boundary chunk: lanes < lo belong to the PREVIOUS tile which already
+        # wrote its gradients here — read-merge-write (sequential grid)
+        @pl.when(lo > 0)
+        def _():
+            pltpu.make_async_copy(
+                dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+                obuf, gsem,
+            ).start()
+            pltpu.make_async_copy(
+                dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+                obuf, gsem,
+            ).wait()
+
+        @pl.when(lo <= 0)
+        def _():
+            obuf[:] = jnp.zeros((COLS, KB), jnp.float32)
+
+        gbuf[:] = jnp.where(lane < lo, obuf[:], gnew)
         pltpu.make_async_copy(
-            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], gsem
+            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            gsem,
         ).start()
         pltpu.make_async_copy(
-            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(start + ci * KB, KB), KB)], gsem
+            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            gsem,
         ).wait()
         return T, acc, done
 
@@ -279,11 +328,11 @@ def _bwd_kernel(astarts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     )
 
 
-def pallas_composite_fwd(records: jnp.ndarray, astarts: jnp.ndarray,
+def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                          counts: jnp.ndarray, nx: int, ny: int,
                          interpret: bool = False):
-    """records: [16, N_aligned] transposed records in KB-aligned segments;
-    astarts [n_tiles+1]; counts [n_tiles] true per-tile counts.
+    """records: [16, N] sorted record planes (compact per-tile segments);
+    starts [n_tiles+1]; counts [n_tiles].
     Returns (color [n_tiles,3,256], trans [n_tiles,1,256])."""
     n_tiles = nx * ny
     color, trans = pl.pallas_call(
@@ -313,13 +362,16 @@ def pallas_composite_fwd(records: jnp.ndarray, astarts: jnp.ndarray,
             jax.ShapeDtypeStruct((n_tiles, 1, NPIX), jnp.float32),
         ),
         interpret=interpret,
-    )(astarts, counts, jnp.asarray([nx], jnp.int32), records)
+    )(starts, counts, jnp.asarray([nx], jnp.int32), records)
     return color, trans
 
 
-def pallas_composite_bwd(records, astarts, counts, nx: int, ny: int, color,
+def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
                          trans, dcolor, dtrans, interpret: bool = False):
-    """Per-pair gradients [16, N_aligned] (same layout as records)."""
+    """Per-pair gradients [16, N] (same compact layout as records).
+
+    Boundary chunks are read-merge-written, so the grid must execute
+    sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     n_pairs = records.shape[1]
     dpairs = pl.pallas_call(
@@ -346,89 +398,94 @@ def pallas_composite_bwd(records, astarts, counts, nx: int, ny: int, color,
                 pltpu.VMEM((KB, NPIX), jnp.float32),  # abuf
                 pltpu.VMEM((KB, NPIX), jnp.float32),  # dbuf
                 pltpu.VMEM((COLS, KB), jnp.float32),  # gbuf (transposed out)
+                pltpu.VMEM((COLS, KB), jnp.float32),  # obuf (RMW neighbour)
                 pltpu.SemaphoreType.DMA(()),
                 pltpu.SemaphoreType.DMA(()),
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((COLS, n_pairs), jnp.float32),
         compiler_params=pltpu.CompilerParams(
-            has_side_effects=True, dimension_semantics=("parallel",)
+            has_side_effects=True, dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(astarts, counts, jnp.asarray([nx], jnp.int32), records, color, trans,
+    )(starts, counts, jnp.asarray([nx], jnp.int32), records, color, trans,
       dcolor, dtrans)
     return dpairs
 
 
 # ------------------------------------------------------------- full wrapper
 
-import functools as _functools
 
-from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
-from sixdgs_tpu.ops.rasterizer.tiles import _bin_pairs, _invert_perm_payload
-
-
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite(records, astarts, counts, nx, ny, interpret):
-    return pallas_composite_fwd(records, astarts, counts, nx, ny,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _composite(records, starts, counts, nx, ny, interpret):
+    return pallas_composite_fwd(records, starts, counts, nx, ny,
                                 interpret=interpret)
 
 
-def _composite_fwd(records, astarts, counts, nx, ny, interpret):
-    color, trans = pallas_composite_fwd(records, astarts, counts, nx, ny,
+def _composite_fwd(records, starts, counts, nx, ny, interpret):
+    color, trans = pallas_composite_fwd(records, starts, counts, nx, ny,
                                         interpret=interpret)
-    return (color, trans), (records, astarts, counts, color, trans)
+    return (color, trans), (records, starts, counts, color, trans)
 
 
 def _composite_bwd(nx, ny, interpret, res, grads):
-    records, astarts, counts, color, trans = res
+    records, starts, counts, color, trans = res
     dcolor, dtrans = grads
     dpairs = pallas_composite_bwd(
-        records, astarts, counts, nx, ny, color, trans, dcolor, dtrans,
+        records, starts, counts, nx, ny, color, trans, dcolor, dtrans,
         interpret=interpret,
     )
-    # slots beyond each tile's chunk coverage are uninitialized HBM; the
-    # aligned-gather transpose masks by true rank, so just null NaN-prone
-    # regions via the same validity used there (handled downstream).
+    # lanes past the last valid pair were never written (uninitialized HBM)
+    n_real = starts[-1]
+    lane = jnp.arange(dpairs.shape[1], dtype=jnp.int32)
+    dpairs = jnp.where((lane < n_real)[None, :], dpairs, 0.0)
     return dpairs, None, None
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-@_functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7))
-def _aligned_gather(records, src_gidx, d_of_pair, pair_ok, big_idx, big_ok,
-                    t_max, t_max_big):
-    """records [P, 16] -> aligned pair layout [N_aligned, 16].
-
-    src_gidx: per aligned slot, source gaussian (depth-order index).
-    d_of_pair / pair_ok: per PRE-SORT pair (two-tier layout: P*t_max main +
-    K*t_max_big overflow), its aligned slot and validity — used by the
-    gather-based transpose (scatter-free except a K-row overflow add).
-    """
-    return records[src_gidx]
+@jax.custom_vjp
+def _sort_planes(tile_ids, pair_gidx, planes):
+    """2-key sort carrying the record planes (tuple of [N] f32) + pre-sort
+    index. Returns (sorted_tiles, sorted_planes, pair_order)."""
+    n = tile_ids.shape[0]
+    iota = jnp.arange(n, dtype=jnp.int32)
+    out = jax.lax.sort((tile_ids, pair_gidx) + tuple(planes) + (iota,),
+                       num_keys=2, is_stable=True)
+    return out[0], tuple(out[2:-1]), out[-1]
 
 
-def _aligned_gather_fwd(records, src_gidx, d_of_pair, pair_ok, big_idx,
-                        big_ok, t_max, t_max_big):
-    return records[src_gidx], (
-        d_of_pair, pair_ok, big_idx, big_ok, records.shape[0],
-    )
+def _sort_planes_fwd(tile_ids, pair_gidx, planes):
+    res = _sort_planes(tile_ids, pair_gidx, planes)
+    return res, res[2]  # pair_order
 
 
-def _aligned_gather_bwd(t_max, t_max_big, res, g):
-    d_of_pair, pair_ok, big_idx, big_ok, P = res
+def _sort_planes_bwd(pair_order, grads):
+    _, dplanes, _ = grads
+    # route plane cotangents back to pre-sort order with ONE key-value sort
+    # (out[perm[s]] = payload[s]); scatter- and gather-free
+    out = jax.lax.sort((pair_order,) + tuple(dplanes), num_keys=1)
+    return None, None, tuple(out[1:])
+
+
+_sort_planes.defvjp(_sort_planes_fwd, _sort_planes_bwd)
+
+
+def _expand_presort_planes(records, big_idx, t_max: int, t_max_big: int):
+    """[P, 9] records -> tuple of 9 pre-sort pair planes [P*t_max + K*t_max_big].
+
+    Broadcast + reshape only (differentiable; the VJP is a reshape-sum plus a
+    K-row scatter-add) — replaces the per-pair row gather."""
+    P = records.shape[0]
     K = big_idx.shape[0]
-    R = g.shape[-1]
-    d_pair = jnp.where(pair_ok[:, None], g[d_of_pair], 0.0)  # [N_pairs, 16]
-    n_main = P * t_max
-    d_main = jnp.sum(d_pair[:n_main].reshape(P, t_max, R), axis=1)
-    d_big = jnp.sum(d_pair[n_main:].reshape(K, t_max_big, R), axis=1)
-    d_big = jnp.where(big_ok[:, None], d_big, 0.0)
-    return d_main.at[big_idx].add(d_big), None, None, None, None, None
-
-
-_aligned_gather.defvjp(_aligned_gather_fwd, _aligned_gather_bwd)
+    big_records = records[big_idx]  # [K, 9] (tiny gather)
+    planes = []
+    for c in range(RECORD):
+        main = jnp.broadcast_to(records[:, c][:, None], (P, t_max)).reshape(-1)
+        big = jnp.broadcast_to(big_records[:, c][:, None], (K, t_max_big)).reshape(-1)
+        planes.append(jnp.concatenate([main, big]))
+    return tuple(planes)
 
 
 def rasterize_pallas(
@@ -447,95 +504,50 @@ def rasterize_pallas(
     in the hand-written kernels (no k_max truncation)."""
     nx = -(-width // TILE)
     ny = -(-height // TILE)
+    n_tiles = nx * ny
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
     inv_gorder = jnp.argsort(order)
     opac_all = jnp.where(visible, proj.opacities, 0.0)
     P = proj.means2d.shape[0]
-    from sixdgs_tpu.ops.rasterizer.tiles import _permute
+    overflow_k = min(overflow_k, P)
 
     records = _permute(
         jnp.concatenate(
-            [
-                proj.means2d,
-                proj.conics,
-                proj.colors,
-                opac_all[:, None],
-                jnp.zeros((P, COLS - 9), proj.means2d.dtype),
-            ],
+            [proj.means2d, proj.conics, proj.colors, opac_all[:, None]],
             axis=-1,
         ),
         order,
         inv_gorder,
-    )  # depth-ordered [P, 16], scatter-free VJP
+    )  # depth-ordered [P, 9], scatter-free VJP
 
     means2d_sorted = jax.lax.stop_gradient(records[:, 0:2])
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
-    overflow_k = min(overflow_k, P)
-    (pair_order, sorted_tiles, starts, pair_rank,
-     g_sorted, big_idx, big_ok) = _bin_pairs(
+    tile_ids, pair_gidx, big_idx, big_ok = _make_pair_keys(
         means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
     )
-    n_tiles = nx * ny
-    n_pairs = pair_order.shape[0]
+    del big_ok  # invalid overflow rows carry the n_tiles sentinel already
 
-    # KB-aligned per-tile segments: Mosaic requires lane-dim DMA offsets to be
-    # tiling-aligned, so each tile's segment starts at a multiple of KB.
-    counts = (starts[1:] - starts[:-1]).astype(jnp.int32)
-    acounts = ((counts + KB - 1) // KB) * KB
-    astarts = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(acounts, dtype=jnp.int32)]
+    presort_planes = _expand_presort_planes(records, big_idx, t_max, t_max_big)
+    sorted_tiles, sorted_planes, _ = _sort_planes(
+        tile_ids, pair_gidx, presort_planes
     )
-    n_aligned = ((n_pairs + KB - 1) // KB) * KB + n_tiles * KB  # static bound
-
-    d = jnp.arange(n_aligned, dtype=jnp.int32)
-    # tile of each aligned slot: segments are KB-aligned, so resolve at chunk
-    # granularity (n_aligned/KB elements) and expand by gather — a
-    # full-resolution searchsorted over n_aligned slots costs ~300 ms and
-    # jnp.repeat ~23 ms at Mip-360 scale; the chunk-table gather is ~2 ms
-    chunk_astarts = astarts // KB  # [n_tiles + 1]
-    c = jnp.arange(n_aligned // KB, dtype=jnp.int32)
-    tile_of_chunk = jnp.clip(
-        jnp.searchsorted(chunk_astarts, c, side="right") - 1, 0, n_tiles - 1
+    starts = jnp.searchsorted(
+        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
-    tile_of_d = tile_of_chunk[d // KB]
-    rank_d = d - astarts[tile_of_d]
-    slot_ok = (rank_d >= 0) & (rank_d < counts[tile_of_d])
-    src_pair = jnp.where(
-        slot_ok, starts[tile_of_d] + rank_d, 0
-    )  # sorted-pair index
-    src_gidx = jnp.where(slot_ok, g_sorted[src_pair], 0)
+    counts = starts[1:] - starts[:-1]
 
-    # transpose map: aligned destination of each PRE-SORT pair, via ONE
-    # key-value sort carrying the sorted slot's destination as payload
-    # (replaces inv_order + two 2.4M-row gathers)
-    valid_sorted = sorted_tiles < n_tiles
-    d_of_sorted = jnp.where(
-        valid_sorted,
-        astarts[jnp.minimum(sorted_tiles, n_tiles - 1)]
-        + jnp.minimum(pair_rank, n_aligned - 1),
-        -1,
-    )
-    d_signed = _invert_perm_payload(pair_order, d_of_sorted)
-    pair_ok = d_signed >= 0
-    d_of_pair = jnp.clip(d_signed, 0, n_aligned - 1)
+    # stack planes into the [16, N] matrix the kernels DMA from
+    n_pairs = tile_ids.shape[0]
+    zeros = jnp.zeros((COLS - RECORD, n_pairs), jnp.float32)
+    records_t = jnp.concatenate(
+        [jnp.stack(sorted_planes, axis=0), zeros], axis=0
+    )  # [16, N]
 
-    aligned = _aligned_gather(records, src_gidx, d_of_pair, pair_ok,
-                              big_idx, big_ok, t_max, t_max_big)
-    # zero invalid slots so uncovered padding can't contribute
-    aligned = aligned * slot_ok[:, None].astype(aligned.dtype)
-    # re-express means relative to the owning tile's origin: the kernel works
-    # in tile-local pixels so the identity-matmul transpose can't lose pixel
-    # precision on large absolute coordinates
-    tile_ox = ((tile_of_d % nx) * TILE).astype(aligned.dtype)
-    tile_oy = ((tile_of_d // nx) * TILE).astype(aligned.dtype)
-    shift = jnp.stack([tile_ox, tile_oy], axis=-1) * slot_ok[:, None].astype(aligned.dtype)
-    aligned = aligned.at[:, 0:2].add(-shift)
-    records_t = aligned.T  # [16, n_aligned]
-    color, trans = _composite(records_t, astarts, counts, nx, ny, interpret)
+    color, trans = _composite(records_t, starts, counts, nx, ny, interpret)
     out_tiles = color + trans * bg_color[None, :, None]  # [n_tiles, 3, 256]
     img = out_tiles.reshape(ny, nx, 3, TILE, TILE)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * TILE, nx * TILE)

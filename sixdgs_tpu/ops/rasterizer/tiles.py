@@ -160,6 +160,90 @@ def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
     return jnp.where(pair_valid, ty * nx + tx, n_tiles)
 
 
+def _rect_bounds(means2d, radii_f, nx: int, ny: int, tile: int):
+    """Clipped tile-rect bounds + centers + area per gaussian."""
+    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / tile), 0, nx).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / tile), 0, ny).astype(jnp.int32)
+    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + radii_f + 1) / tile), 0, nx).astype(jnp.int32)
+    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + radii_f + 1) / tile), 0, ny).astype(jnp.int32)
+    cx = jnp.clip((means2d[:, 0] / tile).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
+    cy = jnp.clip((means2d[:, 1] / tile).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
+    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
+    return x0, y0, x1, y1, cx, cy, area
+
+
+def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
+                       t_max: int, overflow_k: int = 256,
+                       t_max_big: int = 1024):
+    """Pairs dropped by the static binning caps (telemetry).
+
+    The CUDA reference's binning is uncapped; these counters expose when the
+    two-tier budgets truncate coverage so training can flag it. Returns a dict
+    of scalars: dropped_main (tiles cut from non-overflow gaussians),
+    dropped_big (tiles cut from overflow-tier gaussians), overflow_spill
+    (gaussians that needed the big tier but it was full)."""
+    overflow_k = min(overflow_k, means2d.shape[0])
+    *_, area = _rect_bounds(means2d, radii_f, nx, ny, tile)
+    area = jnp.where(vis, area, 0)
+    is_big = area > t_max
+    score = jnp.where(is_big, area, -1)
+    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
+    big_ok = big_vals > 0
+    in_overflow = jnp.zeros(area.shape[0], bool).at[big_idx].set(big_ok)
+    dropped_main = jnp.sum(
+        jnp.where(vis & ~in_overflow, jnp.maximum(area - t_max, 0), 0)
+    )
+    dropped_big = jnp.sum(
+        jnp.where(in_overflow, jnp.maximum(area - t_max_big, 0), 0)
+    )
+    overflow_spill = jnp.sum((is_big & ~in_overflow).astype(jnp.int32))
+    return {
+        "dropped_main": dropped_main,
+        "dropped_big": dropped_big,
+        "overflow_spill": overflow_spill,
+    }
+
+
+def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
+                    t_max: int, overflow_k: int = 256, t_max_big: int = 1024):
+    """Pre-sort pair keys: (tile_ids, pair_gidx, big_idx, big_ok).
+
+    tile_ids: tile of each pre-sort pair slot (n_tiles sentinel = invalid);
+    pair_gidx: owning gaussian (depth rank) per slot — iota arithmetic for the
+    regular block (jnp.repeat measured ~23 ms at this scale vs ~0 for iota
+    math), a tiny table gather for the overflow block.
+    """
+    P = means2d.shape[0]
+    overflow_k = min(overflow_k, P)
+    x0, y0, x1, y1, cx, cy, area = _rect_bounds(means2d, radii_f, nx, ny, tile)
+
+    is_big = vis & (area > t_max)
+    score = jnp.where(is_big, area, -1)
+    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
+    big_ok = big_vals > 0
+    in_overflow = jnp.zeros(P, bool).at[big_idx].set(big_ok)
+
+    main_ids = _rect_pairs(
+        x0, y0, x1, y1, cx, cy, vis & ~in_overflow, nx, ny, t_max
+    )  # [P, t_max]
+    big_ids = _rect_pairs(
+        x0[big_idx], y0[big_idx], x1[big_idx], y1[big_idx],
+        cx[big_idx], cy[big_idx], big_ok, nx, ny, t_max_big,
+    )  # [K, t_max_big]
+
+    tile_ids = jnp.concatenate([main_ids.reshape(-1), big_ids.reshape(-1)])
+    n_main = P * t_max
+    pair_gidx = jnp.concatenate(
+        [
+            jnp.arange(n_main, dtype=jnp.int32) // t_max,
+            big_idx.astype(jnp.int32)[
+                jnp.arange(overflow_k * t_max_big, dtype=jnp.int32) // t_max_big
+            ],
+        ]
+    )
+    return tile_ids, pair_gidx, big_idx, big_ok
+
+
 def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
                overflow_k: int = 256, t_max_big: int = 1024):
     """(tile, pair) assignment for depth-ordered gaussians; two-tier budgets.
@@ -176,45 +260,12 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     ``gidx_sorted`` maps SORTED pair slots to depth-ordered gaussian indices;
     use _invert_perm_payload(pair_order, ...) for pre-sort-indexed maps.
     """
-    P = means2d.shape[0]
-    overflow_k = min(overflow_k, P)
-    x0 = jnp.clip(jnp.floor((means2d[:, 0] - radii_f) / tile), 0, nx).astype(jnp.int32)
-    y0 = jnp.clip(jnp.floor((means2d[:, 1] - radii_f) / tile), 0, ny).astype(jnp.int32)
-    x1 = jnp.clip(jnp.ceil((means2d[:, 0] + radii_f + 1) / tile), 0, nx).astype(jnp.int32)
-    y1 = jnp.clip(jnp.ceil((means2d[:, 1] + radii_f + 1) / tile), 0, ny).astype(jnp.int32)
-    cx = jnp.clip((means2d[:, 0] / tile).astype(jnp.int32), x0, jnp.maximum(x1 - 1, x0))
-    cy = jnp.clip((means2d[:, 1] / tile).astype(jnp.int32), y0, jnp.maximum(y1 - 1, y0))
-    area = jnp.maximum(x1 - x0, 0) * jnp.maximum(y1 - y0, 0)
-
-    is_big = vis & (area > t_max)
-    score = jnp.where(is_big, area, -1)
-    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
-    big_ok = big_vals > 0
-    in_overflow = jnp.zeros(P, bool).at[big_idx].set(big_ok)
-
-    main_ids = _rect_pairs(
-        x0, y0, x1, y1, cx, cy, vis & ~in_overflow, nx, ny, t_max
-    )  # [P, t_max]
-    big_ids = _rect_pairs(
-        x0[big_idx], y0[big_idx], x1[big_idx], y1[big_idx],
-        cx[big_idx], cy[big_idx], big_ok, nx, ny, t_max_big,
-    )  # [K, t_max_big]
-
     n_tiles = nx * ny
-    tile_ids = jnp.concatenate([main_ids.reshape(-1), big_ids.reshape(-1)])
-    n_main = P * t_max
-    n_pairs = n_main + overflow_k * t_max_big
-    # gaussian index per pre-sort pair slot: iota arithmetic for the regular
-    # block (jnp.repeat measured ~23 ms at this scale vs ~0 for iota math),
-    # a tiny table gather for the overflow block
-    pair_gidx = jnp.concatenate(
-        [
-            jnp.arange(n_main, dtype=jnp.int32) // t_max,
-            big_idx.astype(jnp.int32)[
-                jnp.arange(overflow_k * t_max_big, dtype=jnp.int32) // t_max_big
-            ],
-        ]
+    tile_ids, pair_gidx, big_idx, big_ok = _make_pair_keys(
+        means2d, radii_f, vis, nx, ny, tile, t_max,
+        overflow_k=overflow_k, t_max_big=t_max_big,
     )
+    n_pairs = tile_ids.shape[0]
 
     # ONE 2-key stable sort (tile major, gaussian depth rank minor) — the
     # composed (tile | depth) radix sort of the CUDA rasterizer without 64-bit

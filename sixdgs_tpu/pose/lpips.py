@@ -93,9 +93,11 @@ def lpips_distance(params: Dict, img1: jnp.ndarray, img2: jnp.ndarray,
     """LPIPS between two [3, H, W] images in [0, 1]."""
     shift = jnp.asarray(_SHIFT)[:, None, None]
     scale = jnp.asarray(_SCALE)[:, None, None]
-    # reference scales [0,1] -> [-1,1] then applies the scaling layer
+    # Reference quirk replicated: lpipsPyTorch z-scores the input DIRECTLY
+    # (BaseNet.z_score, /root/reference/lpipsPyTorch/modules/networks.py:50-51)
+    # with shift/scale constants designed for [-1,1], but metrics.py feeds it
+    # [0,1] images with no 2x-1 rescale (/root/reference/metrics.py:76).
     def prep(x):
-        x = 2.0 * x - 1.0
         return (x - shift) / scale
 
     feat_fn = vgg16_features if net == "vgg" else alexnet_features

@@ -81,6 +81,9 @@ def init_train_state(scene: GaussianScene) -> GSTrainState:
 
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
                    bg, means2d_offset, chunk, rasterizer: str = "scan"):
+    from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
+
+    rasterizer = resolve_rasterizer(rasterizer)
     scaling = jnp.exp(params["scaling"])
     cov3d = build_covariance(scaling, params["rotation"])
     opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
@@ -135,9 +138,10 @@ def train_step(
             chunk, rasterizer,
         )
         loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
-        return loss, (ll1, proj.radii, img)
+        return loss, (ll1, proj.radii, img,
+                      jax.lax.stop_gradient(proj.means2d))
 
-    (loss, (ll1, radii, img)), (grads, g2d) = jax.value_and_grad(
+    (loss, (ll1, radii, img, means2d)), (grads, g2d) = jax.value_and_grad(
         loss_fn, argnums=(0, 1), has_aux=True
     )(params, zeros2d)
 
@@ -158,6 +162,18 @@ def train_step(
     )
     metrics = {"loss": loss, "l1": ll1, "psnr": psnr(jnp.clip(img, 0, 1),
                                                      jnp.clip(cam.gt_image, 0, 1))}
+    from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
+
+    if resolve_rasterizer(rasterizer) in ("tiled", "pallas"):
+        # static-cap truncation telemetry: the CUDA reference's binning is
+        # uncapped, so surface any coverage the two-tier budgets dropped
+        from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
+
+        sat = binning_saturation(
+            means2d, radii.astype(means2d.dtype), visible,
+            -(-width // 16), -(-height // 16), 16, 16,
+        )
+        metrics.update({f"binning_{k}": v for k, v in sat.items()})
     return new_state, metrics
 
 

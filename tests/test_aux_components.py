@@ -80,6 +80,105 @@ class TestLPIPS:
         for a, b in zip(ours, taps):
             np.testing.assert_allclose(np.asarray(a), b, atol=2e-4, rtol=1e-3)
 
+    @pytest.mark.parametrize("net", ["vgg", "alex"])
+    def test_value_parity_vs_reference(self, net):
+        """Full LPIPS VALUE parity against the reference's own forward code
+        (/root/reference/lpipsPyTorch/modules/lpips.py:30-36): identical
+        random weights into both, identical [0,1] image pairs in, matching
+        distances out. The reference ctor downloads pretrained torchvision
+        backbones (unavailable here), so ``layers`` is rebuilt as the
+        identical Conv/ReLU/MaxPool sequence with torch.nn and the reference's
+        unmodified BaseNet/LPIPS forward path is executed over it."""
+        import sys
+        import types
+
+        torch = pytest.importorskip("torch")
+        if "torchvision" not in sys.modules:
+            # networks.py imports torchvision at module top purely for the
+            # pretrained ctors we never call; satisfy the import with a stub
+            tv = types.ModuleType("torchvision")
+            tv.models = types.ModuleType("torchvision.models")
+            sys.modules["torchvision"] = tv
+            sys.modules["torchvision.models"] = tv.models
+        if "/root/reference" not in sys.path:
+            sys.path.insert(0, "/root/reference")
+        from lpipsPyTorch.modules.lpips import LPIPS
+        from lpipsPyTorch.modules.networks import (
+            AlexNet, BaseNet, LinLayers, VGG16,
+        )
+
+        params = lpips_mod.init_params(jax.random.key(5), net=net)
+        # perturb lin weights away from the uniform default so the weighted
+        # stage sum is actually exercised
+        channels = (lpips_mod.VGG_CHANNELS if net == "vgg"
+                    else lpips_mod.ALEX_CHANNELS)
+        rng = np.random.default_rng(6)
+        for i, c in enumerate(channels):
+            params[f"lin{i}.w"] = jnp.asarray(
+                rng.uniform(0.1, 1.0, size=c).astype(np.float32))
+
+        nn = torch.nn
+        if net == "vgg":
+            # torchvision vgg16().features layer sequence
+            seq, cin = [], 3
+            for item in lpips_mod.VGG16_CFG:
+                if item == "M":
+                    seq.append(nn.MaxPool2d(2, 2))
+                else:
+                    seq += [nn.Conv2d(cin, item, 3, padding=1),
+                            nn.ReLU(inplace=True)]
+                    cin = item
+            target_layers = [4, 9, 16, 23, 30]
+        else:
+            # torchvision alexnet().features layer sequence
+            seq = [
+                nn.Conv2d(3, 64, 11, stride=4, padding=2), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(64, 192, 5, padding=2), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+                nn.Conv2d(192, 384, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(384, 256, 3, padding=1), nn.ReLU(True),
+                nn.Conv2d(256, 256, 3, padding=1), nn.ReLU(True),
+                nn.MaxPool2d(3, 2),
+            ]
+            target_layers = [2, 5, 8, 10, 12]
+
+        cls = VGG16 if net == "vgg" else AlexNet
+        tnet = cls.__new__(cls)
+        BaseNet.__init__(tnet)
+        tnet.layers = nn.Sequential(*seq)
+        tnet.target_layers = target_layers
+        tnet.n_channels_list = list(channels)
+        with torch.no_grad():
+            convs = [m for m in tnet.layers if isinstance(m, torch.nn.Conv2d)]
+            for i, m in enumerate(convs[: 13 if net == "vgg" else 5]):
+                m.weight.copy_(torch.from_numpy(
+                    np.asarray(params[f"conv{i}.w"], np.float32)))
+                m.bias.copy_(torch.from_numpy(
+                    np.asarray(params[f"conv{i}.b"], np.float32)))
+        tnet.set_requires_grad(False)
+
+        crit = LPIPS.__new__(LPIPS)
+        torch.nn.Module.__init__(crit)
+        crit.net = tnet
+        crit.lin = LinLayers(tnet.n_channels_list)
+        with torch.no_grad():
+            for i, l in enumerate(crit.lin):
+                l[1].weight.copy_(torch.from_numpy(
+                    np.asarray(params[f"lin{i}.w"], np.float32)
+                ).reshape(1, -1, 1, 1))
+
+        img_rng = np.random.default_rng(7)
+        for trial in range(3):
+            a = img_rng.uniform(size=(3, 48, 48)).astype(np.float32)
+            b = np.clip(a + img_rng.normal(scale=0.1 * (trial + 1),
+                                           size=a.shape), 0, 1).astype(np.float32)
+            ref = float(crit(torch.from_numpy(a)[None],
+                             torch.from_numpy(b)[None]))
+            ours = float(lpips_mod.lpips_distance(
+                params, jnp.asarray(a), jnp.asarray(b), net=net))
+            assert abs(ours - ref) < max(1e-5, 1e-3 * abs(ref)), (ours, ref)
+
 
 class TestSuperPoint:
     def test_shapes_and_norm(self):

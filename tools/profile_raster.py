@@ -148,9 +148,8 @@ def main():
             print(f"raster[{rast}] FAILED: {type(e).__name__}: {e}")
 
     if want("step"):
-        st = init_train_state(make_scene(args.P))
         lrs = lr_dict(OptimizationConfig(), 1.0, 1000)
-        for rast in ("tiled",):
+        for rast in ("tiled", "pallas"):
             stt = init_train_state(make_scene(args.P))
             def stp(s):
                 s2, m = train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
