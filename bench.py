@@ -143,7 +143,7 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
         records[:, 0:2], proj.radii[order].astype(jnp.float32),
         visible[order], nx, ny, PT.TILE, 16)
     planes = PT._expand_presort_planes(records, big_idx, 16, 1024)
-    sorted_tiles, sorted_planes, _ = PT._sort_planes(tile_ids, pair_gidx, planes)
+    sorted_tiles, sorted_planes, _ = PT._sort_planes(tile_ids, pair_gidx, planes, nx * ny, P)
     starts = jnp.searchsorted(
         sorted_tiles, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]

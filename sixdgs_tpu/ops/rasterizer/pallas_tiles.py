@@ -21,12 +21,20 @@ contains NO large gathers:
      so neighbours' gradients survive, relying on sequential grid execution —
      dimension_semantics "arbitrary").
 
-Kernel structure per chunk of KB pairs:
+Kernel structure per chunk of KB pairs — FULLY PARALLEL compositing (no
+serial transmittance loop):
   1. vectorized alpha: [KB, 256] from field columns broadcast against the
      pixel vector (pure VPU),
-  2. sequential compositing: fori over KB touching only [1, 256] rows
-     (transmittance update + weight row store) — the only serial part,
+  2. log-transmittance via sublane log-step cumsum of log(1-a): with
+     Tplain = the plain running product, the CUDA stop test
+     Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays true, since every
+     later Tplain <= the violating product), so the serial done-latch is
+     exactly `cumsum(stop) > 0` and w_i = a_i * Tser_i * contribute_i where
+     Tser only multiplies contributing factors — bit-faithful to the
+     sequential replay, computed in O(log KB) shifted adds,
   3. color application / color gradients as MXU matmuls over the chunk.
+HBM chunk fetches are double-buffered (next chunk's DMA issued before
+computing the current one).
 
 Backward math (standard 3DGS):
   C = sum_i c_i a_i T_i,  T_i = prod_{j<i}(1-a_j),  T_fin = prod_i(1-a_i)
@@ -61,9 +69,59 @@ from sixdgs_tpu.ops.rasterizer.tiles import RECORD, _make_pair_keys, _permute
 
 COLS = 16  # padded record planes (sublane dim of the [16, N] matrix)
 KB = 128  # pairs per DMA chunk (lane-dim tiling alignment)
-SB = 8  # statically-unrolled compositing sub-block
 TILE = 16
 NPIX = TILE * TILE
+
+
+def _cumsum_sublane(x):
+    """Inclusive cumsum along axis 0 of [KB, N]: log2(KB) shifted adds
+    (static slices — Mosaic lowers these as sublane shifts)."""
+    kb = x.shape[0]
+    s = 1
+    while s < kb:
+        x = x + jnp.concatenate(
+            [jnp.zeros((s, x.shape[1]), x.dtype), x[:-s, :]], axis=0)
+        s *= 2
+    return x
+
+
+def _cumprod_sublane(x):
+    """Inclusive cumprod along axis 0 of [KB, N]: log2(KB) shifted multiplies
+    (no log/exp roundtrip — same f32 error class as a sequential product)."""
+    kb = x.shape[0]
+    s = 1
+    while s < kb:
+        x = x * jnp.concatenate(
+            [jnp.ones((s, x.shape[1]), x.dtype), x[:-s, :]], axis=0)
+        s *= 2
+    return x
+
+
+def _excl(inc, fill):
+    """Shift an inclusive scan down one row -> exclusive scan."""
+    return jnp.concatenate(
+        [jnp.full((1, inc.shape[1]), fill, inc.dtype), inc[:-1, :]], axis=0)
+
+
+def _composite_chunk(alpha, Tser, Tpl):
+    """Parallel replay of the sequential front-to-back compositing over one
+    [KB, 256] alpha chunk given carries Tser (serial transmittance) and Tpl
+    (plain running product), both [1, 256].
+
+    The CUDA stop test Tplain*(1-a) < T_EPS is monotone in the row index
+    (every later plain product <= the violating one), so the serial done
+    latch is exactly cumsum(stop) > 0; Tser multiplies only contributing
+    factors. Returns (w, Tser_i, contribute, new_Tser, new_Tpl)."""
+    one_minus = 1.0 - alpha
+    incP = _cumprod_sublane(one_minus)
+    Tpl_i = Tpl * _excl(incP, 1.0)  # exclusive plain transmittance
+    stop = (Tpl_i * one_minus < T_EPS).astype(jnp.float32)
+    contribute = (_cumsum_sublane(stop) < 0.5).astype(jnp.float32)
+    fser = one_minus * contribute + (1.0 - contribute)
+    incS = _cumprod_sublane(fser)
+    Tser_i = Tser * _excl(incS, 1.0)  # exclusive serial transmittance
+    w = alpha * Tser_i * contribute
+    return w, Tser_i, contribute, Tser * incS[-1:, :], Tpl * incP[-1:, :]
 
 
 def _pixel_coords():
@@ -87,14 +145,6 @@ def _transpose_matmul(x, out_rows):
         preferred_element_type=jnp.float32,
         precision=jax.lax.Precision.HIGHEST,
     )  # [out_rows, R]
-
-
-def _localize(tbuf, t, nx):
-    """Subtract the tile origin from the mean rows of the [COLS, KB] chunk."""
-    ox = ((t % nx) * TILE).astype(jnp.float32)
-    oy = ((t // nx) * TILE).astype(jnp.float32)
-    tbuf[0:1, :] = tbuf[0:1, :] - ox
-    tbuf[1:2, :] = tbuf[1:2, :] - oy
 
 
 def _chunk_alpha(buf, px, py, lo, hi):
@@ -126,82 +176,104 @@ def _segment_bounds(start, count):
     return base, lead, n_chunks
 
 
+def _read_dma(records_hbm, tbuf, sem, base, ci, slot):
+    """Async copy of the KB-aligned chunk ci of a segment into tbuf[slot]."""
+    return pltpu.make_async_copy(
+        records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+        tbuf.at[slot], sem.at[slot],
+    )
+
+
+def _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf, sem, t,
+                          base, n_chunks):
+    """Cross-instance pipelining of each tile's FIRST chunk: tbuf slots 0/1
+    stream within the instance; slots 2/3 (by tile parity) hold chunk 0,
+    prefetched by the PREVIOUS grid instance so the per-tile DMA stall is
+    hidden (instance 0 self-starts). Returns chunk 0's slot for this tile."""
+    my0 = 2 + jax.lax.rem(t, 2)
+
+    @pl.when((t == 0) & (n_chunks > 0))
+    def _():
+        _read_dma(records_hbm, tbuf, sem, base, 0, my0).start()
+
+    @pl.when(t + 1 < pl.num_programs(0))
+    def _():
+        nstart = starts_ref[t + 1]
+        ncount = counts_ref[t + 1]
+        nbase, _, nn = _segment_bounds(nstart, ncount)
+
+        @pl.when(nn > 0)
+        def _():
+            _read_dma(records_hbm, tbuf, sem, nbase, 0,
+                      2 + jax.lax.rem(t + 1, 2)).start()
+
+    return my0
+
+
 def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
-                trans_ref, tbuf, wbuf, abuf, sem):
+                trans_ref, tbuf, sem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     base, lead, n_chunks = _segment_bounds(start, count)
     px, py = _pixel_coords()
+    nx = nx_ref[0]
+    ox = ((t % nx) * TILE).astype(jnp.float32)
+    oy = ((t // nx) * TILE).astype(jnp.float32)
+
+    def dma(ci, slot):
+        return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
+
+    my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
+                                sem, t, base, n_chunks)
 
     def chunk_body(ci, carry):
-        T, C, done = carry  # [1, 256], [3, 256], [1, 256]
-        pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            tbuf, sem,
-        ).start()
-        pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            tbuf, sem,
-        ).wait()
-        _localize(tbuf, t, nx_ref[0])
-        buf = _transpose_matmul(tbuf[:], KB)  # [KB, COLS]
+        Tser, Tpl, C = carry  # [1, 256], [1, 256], [3, 256]
+        slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
+
+        dma(ci, slot).wait()
+        rid = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 0)
+        off = jnp.where(rid == 0, ox, 0.0) + jnp.where(rid == 1, oy, 0.0)
+        buf = _transpose_matmul(tbuf[slot] - off, KB)  # [KB, COLS]
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
-        wbuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
         alpha, _, _, _, _ = _chunk_alpha(buf, px, py, lo, hi)
-        abuf[:] = alpha  # row access needs a ref (Mosaic has no value dyn-slice)
-
-        def sub_body(s, carry):
-            # sub-blocks of SB gaussians: one dynamic slice per block, the
-            # sequential compositing statically unrolled (dynamic sublane
-            # access per row was the kernel's bottleneck)
-            T, done = carry  # done carried as f32 (no i1 vector yields)
-            off = s * SB
-            a_blk = abuf[pl.ds(off, SB), :]  # [SB, 256]
-            w_rows = []
-            for i in range(SB):
-                a = a_blk[i : i + 1, :]
-                test_T = T * (1.0 - a)
-                stop = test_T < T_EPS
-                contribute = (done < 0.5) & (~stop)
-                w_rows.append(jnp.where(contribute, a * T, 0.0))
-                T = jnp.where(contribute, test_T, T)
-                done = jnp.maximum(done, stop.astype(jnp.float32))
-            wbuf[pl.ds(off, SB), :] = jnp.concatenate(w_rows, axis=0)
-            return T, done
-
-        trip = (jnp.minimum(KB, hi) + SB - 1) // SB
-        T, done = jax.lax.fori_loop(0, trip, sub_body, (T, done))
+        w, _, _, Tser, Tpl = _composite_chunk(alpha, Tser, Tpl)
         colors = buf[:, 5:8]  # [KB, 3]
         C = C + jax.lax.dot_general(
-            colors, wbuf[:],
+            colors, w,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [3, 256]
-        return T, C, done
+        return Tser, Tpl, C
 
     T0 = jnp.ones((1, NPIX), jnp.float32)
     C0 = jnp.zeros((3, NPIX), jnp.float32)
-    done0 = jnp.zeros((1, NPIX), jnp.float32)
-    _, (T, C, _) = jax.lax.while_loop(
+    _, (T, _, C) = jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, C0, done0)),
+        (0, (T0, jnp.ones((1, NPIX), jnp.float32), C0)),
     )
     color_ref[0] = C
     trans_ref[0] = T
 
 
 def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
-                trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, wbuf,
-                dabuf, abuf, dbuf, gbuf, obuf, sem, gsem):
+                trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, gbuf,
+                obuf, sem, gsem, osem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     base, lead, n_chunks = _segment_bounds(start, count)
     px, py = _pixel_coords()
+    nx = nx_ref[0]
+    ox = ((t % nx) * TILE).astype(jnp.float32)
+    oy = ((t // nx) * TILE).astype(jnp.float32)
 
     C_total = color_ref[0]  # [3, 256]
     T_fin = trans_ref[0]  # [1, 256]
@@ -210,61 +282,51 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     dCC = jnp.sum(dC * C_total, axis=0, keepdims=True)  # [1, 256]
     dTT = dT * T_fin  # [1, 256]
 
+    def dma(ci, slot):
+        return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
+
+    def dma_w(ci, gslot):
+        return pltpu.make_async_copy(
+            gbuf.at[gslot],
+            dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
+            gsem.at[gslot],
+        )
+
+    my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
+                                sem, t, base, n_chunks)
+
     def chunk_body(ci, carry):
-        T, acc, done = carry  # transmittance, prefix of <dC, c_j> w_j, done
-        pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            tbuf, sem,
-        ).start()
-        pltpu.make_async_copy(
-            records_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            tbuf, sem,
-        ).wait()
-        _localize(tbuf, t, nx_ref[0])
-        buf = _transpose_matmul(tbuf[:], KB)  # [KB, COLS]
+        Tser, Tpl, acc = carry  # transmittances, prefix of <dC, c_j> w_j
+        slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
+
+        @pl.when(ci + 1 < n_chunks)
+        def _():
+            dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
+
+        dma(ci, slot).wait()
+        rid = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 0)
+        off = jnp.where(rid == 0, ox, 0.0) + jnp.where(rid == 1, oy, 0.0)
+        buf = _transpose_matmul(tbuf[slot] - off, KB)  # [KB, COLS]
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
-        wbuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
-        dabuf[:] = jnp.zeros((KB, NPIX), jnp.float32)
         alpha, g_raw, dx, dy, live = _chunk_alpha(buf, px, py, lo, hi)
-        abuf[:] = alpha
         colors = buf[:, 5:8]  # [KB, 3]
-        dbuf[:] = jnp.dot(colors, dC, preferred_element_type=jnp.float32,
-                          precision=jax.lax.Precision.HIGHEST)  # [KB, 256]
+        dbuf = jnp.dot(colors, dC, preferred_element_type=jnp.float32,
+                       precision=jax.lax.Precision.HIGHEST)  # [KB, 256]
 
-        def sub_body(s, carry):
-            T, acc, done = carry  # done as f32 (no i1 vector yields)
-            off = s * SB
-            a_blk = abuf[pl.ds(off, SB), :]  # [SB, 256]
-            d_blk = dbuf[pl.ds(off, SB), :]
-            w_rows, da_rows = [], []
-            for i in range(SB):
-                a = a_blk[i : i + 1, :]
-                test_T = T * (1.0 - a)
-                stop = test_T < T_EPS
-                contribute = (done < 0.5) & (~stop)
-                w = jnp.where(contribute, a * T, 0.0)
-                w_rows.append(w)
-                d_row = d_blk[i : i + 1, :]
-                acc = acc + d_row * w
-                one_minus = jnp.maximum(1.0 - a, 1e-6)
-                da = d_row * T - (dCC - acc) / one_minus - dTT / one_minus
-                da_rows.append(jnp.where(contribute & (a > 0.0), da, 0.0))
-                T = jnp.where(contribute, test_T, T)
-                done = jnp.maximum(done, stop.astype(jnp.float32))
-            wbuf[pl.ds(off, SB), :] = jnp.concatenate(w_rows, axis=0)
-            dabuf[pl.ds(off, SB), :] = jnp.concatenate(da_rows, axis=0)
-            return T, acc, done
-
-        trip = (jnp.minimum(KB, hi) + SB - 1) // SB
-        T, acc, done = jax.lax.fori_loop(0, trip, sub_body, (T, acc, done))
+        w, Tser_i, contribute, Tser, Tpl = _composite_chunk(alpha, Tser, Tpl)
+        # inclusive prefix of <dC, c_j> w_j, replayed in parallel
+        acc_i = acc + _cumsum_sublane(dbuf * w)  # [KB, 256]
+        one_minus = jnp.maximum(1.0 - alpha, 1e-6)
+        da_all = dbuf * Tser_i - (dCC - acc_i) / one_minus - dTT / one_minus
+        da_all = jnp.where((contribute > 0.0) & (alpha > 0.0), da_all, 0.0)
+        acc = acc_i[-1:, :]
 
         # vectorized chain rule over the chunk
         opac = buf[:, 8:9]
         conA = buf[:, 2:3]
         conB = buf[:, 3:4]
         conC = buf[:, 4:5]
-        da_all = dabuf[:]  # [KB, 256]
         clamped = (opac * g_raw) > ALPHA_MAX
         da_all = jnp.where(clamped | (~live), 0.0, da_all)
         dopac = jnp.sum(da_all * g_raw, axis=1, keepdims=True)  # [KB, 1]
@@ -277,7 +339,7 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         dmx = -jnp.sum(dpow_dx, axis=1, keepdims=True)
         dmy = -jnp.sum(dpow_dy, axis=1, keepdims=True)
         dcol = jax.lax.dot_general(
-            wbuf[:], dC,
+            w, dC,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
@@ -291,41 +353,52 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
         gnew = _transpose_matmul(gvals, COLS)  # [COLS, KB]
         # boundary chunk: lanes < lo belong to the PREVIOUS tile which already
-        # wrote its gradients here — read-merge-write (sequential grid)
+        # wrote (and completed: it drains its writes before finishing) its
+        # gradients here — read-merge-write (sequential grid)
         @pl.when(lo > 0)
         def _():
             pltpu.make_async_copy(
                 dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-                obuf, gsem,
+                obuf, osem,
             ).start()
             pltpu.make_async_copy(
                 dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-                obuf, gsem,
+                obuf, osem,
             ).wait()
 
         @pl.when(lo <= 0)
         def _():
             obuf[:] = jnp.zeros((COLS, KB), jnp.float32)
 
-        gbuf[:] = jnp.where(lane < lo, obuf[:], gnew)
-        pltpu.make_async_copy(
-            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            gsem,
-        ).start()
-        pltpu.make_async_copy(
-            gbuf, dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-            gsem,
-        ).wait()
-        return T, acc, done
+        # lazy double-buffered write-back: reclaim a gbuf slot only when the
+        # write issued two chunks ago has drained (instead of stalling on
+        # every chunk's write latency)
+        gslot = jax.lax.rem(ci, 2)
+
+        @pl.when(ci >= 2)
+        def _():
+            dma_w(ci - 2, gslot).wait()
+
+        gbuf[gslot] = jnp.where(lane < lo, obuf[:], gnew)
+        dma_w(ci, gslot).start()
+        return Tser, Tpl, acc
 
     T0 = jnp.ones((1, NPIX), jnp.float32)
     acc0 = jnp.zeros((1, NPIX), jnp.float32)
-    done0 = jnp.zeros((1, NPIX), jnp.float32)
     jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, acc0, done0)),
+        (0, (T0, jnp.ones((1, NPIX), jnp.float32), acc0)),
     )
+    # drain outstanding gradient writes before the next instance reads its
+    # boundary chunk
+    @pl.when(n_chunks >= 2)
+    def _():
+        dma_w(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
+
+    @pl.when(n_chunks >= 1)
+    def _():
+        dma_w(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
 
 
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
@@ -348,14 +421,16 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                pltpu.VMEM((COLS, KB), jnp.float32),  # tbuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # wbuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # abuf
-                pltpu.SemaphoreType.DMA(()),
+                # slots 0/1: in-instance streaming; 2/3: cross-instance
+                # first-chunk prefetch (by tile parity)
+                pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf
+                pltpu.SemaphoreType.DMA((4,)),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel",)
+            # cross-instance first-chunk prefetch requires sequential grid
+            # execution (single-core v5e runs it sequentially regardless)
+            dimension_semantics=("arbitrary",)
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, 3, NPIX), jnp.float32),
@@ -392,15 +467,12 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((COLS, KB), jnp.float32),  # tbuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # wbuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # dabuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # abuf
-                pltpu.VMEM((KB, NPIX), jnp.float32),  # dbuf
-                pltpu.VMEM((COLS, KB), jnp.float32),  # gbuf (transposed out)
+                pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf (stream+prefetch)
+                pltpu.VMEM((2, COLS, KB), jnp.float32),  # gbuf (lazy writes)
                 pltpu.VMEM((COLS, KB), jnp.float32),  # obuf (RMW neighbour)
-                pltpu.SemaphoreType.DMA(()),
-                pltpu.SemaphoreType.DMA(()),
+                pltpu.SemaphoreType.DMA((4,)),  # sem (reads)
+                pltpu.SemaphoreType.DMA((2,)),  # gsem (writes)
+                pltpu.SemaphoreType.DMA(()),  # osem (RMW read)
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((COLS, n_pairs), jnp.float32),
@@ -445,23 +517,32 @@ def _composite_bwd(nx, ny, interpret, res, grads):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-@jax.custom_vjp
-def _sort_planes(tile_ids, pair_gidx, planes):
-    """2-key sort carrying the record planes (tuple of [N] f32) + pre-sort
-    index. Returns (sorted_tiles, sorted_planes, pair_order)."""
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _sort_planes(tile_ids, pair_gidx, planes, n_tiles=1 << 30, P=1 << 30):
+    """(tile major, depth minor) sort carrying the record planes (tuple of
+    [N] f32) + pre-sort index. Uses ONE fused i32 key when n_tiles/P bit
+    budgets allow (saves a payload permutation pass vs a 2-key sort).
+    Returns (sorted_tiles, sorted_planes, pair_order)."""
+    from sixdgs_tpu.ops.rasterizer.tiles import _fused_tile_key
+
     n = tile_ids.shape[0]
     iota = jnp.arange(n, dtype=jnp.int32)
+    key, gbits = _fused_tile_key(tile_ids, pair_gidx, n_tiles, P)
+    if key is not None:
+        out = jax.lax.sort((key,) + tuple(planes) + (iota,), num_keys=1)
+        sorted_tiles = jax.lax.shift_right_logical(out[0], gbits)
+        return sorted_tiles, tuple(out[1:-1]), out[-1]
     out = jax.lax.sort((tile_ids, pair_gidx) + tuple(planes) + (iota,),
                        num_keys=2, is_stable=True)
     return out[0], tuple(out[2:-1]), out[-1]
 
 
-def _sort_planes_fwd(tile_ids, pair_gidx, planes):
-    res = _sort_planes(tile_ids, pair_gidx, planes)
+def _sort_planes_fwd(tile_ids, pair_gidx, planes, n_tiles, P):
+    res = _sort_planes(tile_ids, pair_gidx, planes, n_tiles, P)
     return res, res[2]  # pair_order
 
 
-def _sort_planes_bwd(pair_order, grads):
+def _sort_planes_bwd(n_tiles, P, pair_order, grads):
     _, dplanes, _ = grads
     # route plane cotangents back to pre-sort order with ONE key-value sort
     # (out[perm[s]] = payload[s]); scatter- and gather-free
@@ -533,7 +614,7 @@ def rasterize_pallas(
 
     presort_planes = _expand_presort_planes(records, big_idx, t_max, t_max_big)
     sorted_tiles, sorted_planes, _ = _sort_planes(
-        tile_ids, pair_gidx, presort_planes
+        tile_ids, pair_gidx, presort_planes, n_tiles, P
     )
     starts = jnp.searchsorted(
         sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)

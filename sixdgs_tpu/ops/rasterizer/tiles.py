@@ -267,14 +267,23 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     )
     n_pairs = tile_ids.shape[0]
 
-    # ONE 2-key stable sort (tile major, gaussian depth rank minor) — the
-    # composed (tile | depth) radix sort of the CUDA rasterizer without 64-bit
-    # keys. Gaussians are depth-ordered, so pair_gidx IS the depth rank; two
-    # pairs in the same tile never share a gaussian, so ties don't matter.
+    # ONE sort (tile major, gaussian depth rank minor) — the composed
+    # (tile | depth) radix sort of the CUDA rasterizer without 64-bit keys.
+    # Gaussians are depth-ordered, so pair_gidx IS the depth rank; two pairs
+    # in the same tile never share a gaussian, so ties don't matter. When the
+    # bit budget allows, both orders pack into ONE i32 key (saves a full
+    # permutation pass on the payloads).
     iota = jnp.arange(n_pairs, dtype=jnp.int32)
-    sorted_tiles, gidx_sorted, pair_order = jax.lax.sort(
-        (tile_ids, pair_gidx, iota), num_keys=2, is_stable=True
-    )
+    key, gbits = _fused_tile_key(tile_ids, pair_gidx, n_tiles,
+                                 means2d.shape[0])
+    if key is not None:
+        sorted_key, pair_order = jax.lax.sort((key, iota), num_keys=1)
+        sorted_tiles = jax.lax.shift_right_logical(sorted_key, gbits)
+        gidx_sorted = jax.lax.bitwise_and(sorted_key, (1 << gbits) - 1)
+    else:
+        sorted_tiles, gidx_sorted, pair_order = jax.lax.sort(
+            (tile_ids, pair_gidx, iota), num_keys=2, is_stable=True
+        )
     starts = jnp.searchsorted(
         sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
@@ -284,6 +293,18 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     pair_rank = jnp.where(sorted_tiles < n_tiles, pair_rank, jnp.int32(1 << 30))
     return (pair_order, sorted_tiles, starts, pair_rank,
             gidx_sorted, big_idx, big_ok)
+
+
+def _fused_tile_key(tile_ids, pair_gidx, n_tiles: int, P: int):
+    """Pack (tile major, depth-rank minor) into ONE i32 sort key when the
+    bit budget allows (tile id <= n_tiles sentinel needs tbits, gaussian
+    depth rank < P needs gbits). Returns (key, gbits), or (None, 0) when
+    tbits + gbits > 31 (fall back to a 2-key stable sort)."""
+    tbits = (n_tiles + 1).bit_length()
+    gbits = max(1, (max(P - 1, 1)).bit_length())
+    if tbits + gbits > 31:
+        return None, 0
+    return tile_ids * jnp.int32(1 << gbits) + pair_gidx, gbits
 
 
 def _invert_perm_payload(perm: jnp.ndarray, payload: jnp.ndarray) -> jnp.ndarray:

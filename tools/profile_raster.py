@@ -127,6 +127,69 @@ def main():
 
         print(f"dssim_l1 fwd+bwd: {timeit(ssim_fb, img):8.2f} ms")
 
+    if want("pglue"):
+        # fine-grained breakdown of the pallas glue (everything around the
+        # compositing kernels)
+        from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
+        from sixdgs_tpu.ops.rasterizer.tiles import _make_pair_keys, _permute
+
+        visible = proj.radii > 0
+
+        @jax.jit
+        def stage_depth(proj_means2d, conics, colors, opacities, depths, radii):
+            order = jnp.argsort(jnp.where(visible, depths, jnp.inf))
+            inv = jnp.argsort(order)
+            rec = _permute(
+                jnp.concatenate([proj_means2d, conics, colors,
+                                 jnp.where(visible, opacities, 0.0)[:, None]],
+                                axis=-1), order, inv)
+            return rec, radii[order].astype(jnp.float32), visible[order]
+
+        rec, radii_f, vis = jax.block_until_ready(stage_depth(
+            proj.means2d, proj.conics, proj.colors, proj.opacities,
+            proj.depths, proj.radii))
+        print(f"pglue depth-sort+permute: {timeit(stage_depth, proj.means2d, proj.conics, proj.colors, proj.opacities, proj.depths, proj.radii):8.2f} ms")
+
+        keys_fn = jax.jit(lambda m, r, v: _make_pair_keys(m, r, v, nx, ny, 16, 16))
+        tile_ids, pair_gidx, big_idx, _ = jax.block_until_ready(
+            keys_fn(rec[:, 0:2], radii_f, vis))
+        print(f"pglue make_pair_keys: {timeit(keys_fn, rec[:, 0:2], radii_f, vis):8.2f} ms")
+
+        exp_fn = jax.jit(lambda r, b: PT._expand_presort_planes(r, b, 16, 1024))
+        planes = jax.block_until_ready(exp_fn(rec, big_idx))
+        print(f"pglue expand_planes: {timeit(exp_fn, rec, big_idx):8.2f} ms")
+
+        sort_fn = jax.jit(lambda t, g, p: PT._sort_planes(t, g, p, nx * ny,
+                                                          args.P))
+        st, sp, po = jax.block_until_ready(sort_fn(tile_ids, pair_gidx, planes))
+        print(f"pglue 2-key payload sort: {timeit(sort_fn, tile_ids, pair_gidx, planes):8.2f} ms")
+
+        @jax.jit
+        def stage_layout(st, sp):
+            starts = jnp.searchsorted(
+                st, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)
+            n_pairs = st.shape[0]
+            recs = jnp.concatenate(
+                [jnp.stack(sp, axis=0),
+                 jnp.zeros((PT.COLS - 9, n_pairs), jnp.float32)], axis=0)
+            return starts, recs
+
+        starts, recs = jax.block_until_ready(stage_layout(st, sp))
+        counts = starts[1:] - starts[:-1]
+        print(f"pglue searchsorted+stack: {timeit(stage_layout, st, sp):8.2f} ms")
+
+        kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+        print(f"pglue fwd kernel: {timeit(kf, recs, starts, counts):8.2f} ms")
+
+        color, trans = jax.block_until_ready(kf(recs, starts, counts))
+        kb = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
+            r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
+        print(f"pglue bwd kernel: {timeit(kb, recs, starts, counts, color, trans):8.2f} ms")
+
+        bsort_fn = jax.jit(
+            lambda po, dp: jax.lax.sort((po,) + tuple(dp), num_keys=1))
+        print(f"pglue bwd payload sort: {timeit(bsort_fn, po, sp):8.2f} ms")
+
     from sixdgs_tpu.train.gs_trainer import _render_params
 
     for rast in ("tiled", "pallas"):
