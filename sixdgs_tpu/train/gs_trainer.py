@@ -340,12 +340,24 @@ class GSTrainer:
             [1.0, 1.0, 1.0] if model_cfg.white_background else [0.0, 0.0, 0.0]
         )
         self._viewpoint_stack = []
+        self._cam_arrays = {}
 
     def _next_camera(self):
         if not self._viewpoint_stack:
             self._viewpoint_stack = list(self.train_cams)
         idx = self.rng.integers(len(self._viewpoint_stack))
         return self._viewpoint_stack.pop(int(idx))
+
+    def _camera_arrays(self, cam) -> CameraArrays:
+        """Device-cached CameraArrays: the reference re-uploads each image to
+        the GPU every step (train.py:108-111); here each camera's arrays are
+        staged to HBM once and reused (~2 MB/camera at 1080p-class inputs)."""
+        key = id(cam)
+        ca = self._cam_arrays.get(key)
+        if ca is None:
+            ca = camera_arrays(cam)
+            self._cam_arrays[key] = ca
+        return ca
 
     def save_checkpoint(self, path: str, iteration: int) -> None:
         from sixdgs_tpu.train.checkpoint import save_train_state
@@ -371,10 +383,17 @@ class GSTrainer:
             if it % 1000 == 0 and self.active_sh_degree < self.state.scene.max_sh_degree:
                 self.active_sh_degree += 1
             cam = self._next_camera()
-            lrs = lr_dict(opt, self.spatial_lr_scale, it)
+            # only the xyz lr is scheduled; reuse the device-resident constants
+            if not hasattr(self, "_const_lrs"):
+                self._const_lrs = lr_dict(opt, self.spatial_lr_scale, it)
+            lrs = dict(
+                self._const_lrs,
+                xyz=jnp.asarray(xyz_lr(opt, self.spatial_lr_scale, it),
+                                jnp.float32),
+            )
             self.state, metrics = train_step(
                 self.state,
-                camera_arrays(cam),
+                self._camera_arrays(cam),
                 self.bg,
                 lrs,
                 width=cam.width,

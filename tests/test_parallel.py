@@ -134,3 +134,71 @@ class TestShardedRender:
         render = make_sharded_render(mesh, 64, 32, 3, chunk=64)
         img = render(scene.params(), scene.active, camera_arrays(cam), jnp.zeros(3))
         np.testing.assert_allclose(np.asarray(img), ref, atol=2e-5)
+
+
+class TestShardedGSTrainStep:
+    def test_dp_step_matches_single_device(self):
+        """The DP 3DGS step (cameras sharded over "data") must produce the
+        SAME new state as the identical step on a 1-device mesh, and advance
+        training (finite loss, changed params)."""
+        from sixdgs_tpu.parallel.gs_sharding import (
+            make_sharded_gs_step,
+            shard_camera_batch,
+            stack_camera_batch,
+        )
+        from sixdgs_tpu.scene.cameras import make_synthetic_camera
+        from sixdgs_tpu.scene.gaussians import from_arrays
+        from sixdgs_tpu.train.gs_trainer import init_train_state, lr_dict
+        from sixdgs_tpu.utils.config import OptimizationConfig
+
+        rng = np.random.default_rng(6)
+        n = 48
+        arrs = {
+            "xyz": (rng.normal(size=(n, 3)) * 0.5 + [0, 0, 4]).astype(np.float32),
+            "features_dc": rng.normal(size=(n, 1, 3)).astype(np.float32),
+            "features_rest": np.zeros((n, 15, 3), np.float32),
+            "opacity": rng.uniform(0, 2, size=(n, 1)).astype(np.float32),
+            "scaling": rng.uniform(-2.0, -1.2, size=(n, 3)).astype(np.float32),
+            "rotation": rng.normal(size=(n, 4)).astype(np.float32),
+        }
+        W = H = 32
+        cams = []
+        for i in range(8):
+            ang = 2 * np.pi * i / 8
+            pos = np.array([3 * np.cos(ang), 0.2, 4 + 3 * np.sin(ang)])
+            fwd = np.array([0, 0, 4]) - pos
+            fwd /= np.linalg.norm(fwd)
+            right = np.cross([0, 1, 0], fwd)
+            right /= np.linalg.norm(right)
+            up = np.cross(fwd, right)
+            R_w2c = np.stack([right, up, fwd], axis=0)
+            cam = make_synthetic_camera(W, H, 0.8, 0.8, R_w2c.T, -R_w2c @ pos,
+                                        name=f"c{i}")
+            img = rng.uniform(size=(3, H, W)).astype(np.float32)
+            cams.append(cam.__class__(**{**cam.__dict__, "image": img}))
+        batch = stack_camera_batch(cams)
+        lrs = lr_dict(OptimizationConfig(), 1.0, 100)
+        bg = jnp.zeros(3)
+
+        def run(mesh_n):
+            mesh = make_mesh(mesh_n, axis_names=("data",))
+            step = make_sharded_gs_step(mesh, width=W, height=H, sh_degree=3,
+                                        chunk=64, rasterizer="tiled")
+            state = init_train_state(from_arrays(arrs, max_sh_degree=3,
+                                                 capacity=64))
+            sb = shard_camera_batch(mesh, batch)
+            state, m = step(state, sb, bg, lrs)
+            state, m = step(state, sb, bg, lrs)
+            return state, m
+
+        s8, m8 = run(8)
+        s1, m1 = run(1)
+        assert np.isfinite(float(m8["loss"]))
+        np.testing.assert_allclose(float(m8["loss"]), float(m1["loss"]),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s8.scene.xyz), np.asarray(s1.scene.xyz), atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(s8.xyz_grad_accum), np.asarray(s1.xyz_grad_accum),
+            rtol=1e-4, atol=1e-6)
+        assert not np.allclose(np.asarray(s8.scene.xyz)[:n], arrs["xyz"])

@@ -1,0 +1,178 @@
+"""End-to-end quality workflow on real hardware (reproducible artifact).
+
+Builds a ground-truth Gaussian scene, renders GT views with this framework's
+own renderer into a Blender-format dataset (written FIRST with the standard
+OpenGL c2w convention, then read back through the production loader so the
+CLI apps see exactly the conventions they expect), then drives the real CLI
+pipeline: apps.train_gs -> apps.render -> apps.metrics, and prints the
+held-out PSNR/SSIM as one JSON line.
+
+This is the repeatable version of the round-1 "full workflow quality" run
+(BASELINE.md: 29.74 dB / 0.973 SSIM @ 3k iters). Mirrors the reference's
+empirical validation flow (/root/reference/train.py -> render.py ->
+metrics.py) on a scene whose ground truth is exactly representable.
+
+Usage: python tools/quality_workflow.py --iterations 3000 --size 400
+"""
+
+import argparse
+import json
+import os
+import shutil
+
+import numpy as np
+
+
+def look_at_c2w_opengl(pos, up=(0.0, 1.0, 0.0)):
+    """OpenGL/Blender c2w (camera -z looks at the origin)."""
+    pos = np.asarray(pos, np.float64)
+    z = pos / np.linalg.norm(pos)  # -z points at origin
+    up = np.asarray(up, np.float64)
+    x = np.cross(up, z)
+    x /= np.linalg.norm(x)
+    y = np.cross(z, x)
+    c2w = np.eye(4)
+    c2w[:3, 0], c2w[:3, 1], c2w[:3, 2], c2w[:3, 3] = x, y, z, pos
+    return c2w
+
+
+def sphere_positions(n, radius, seed, z_band=(0.05, 0.75)):
+    rng = np.random.default_rng(seed)
+    ang = rng.uniform(0, 2 * np.pi, size=n)
+    h = rng.uniform(*z_band, size=n)
+    r_xy = np.sqrt(np.maximum(1.0 - h**2, 1e-3)) * radius
+    return np.stack([r_xy * np.cos(ang), h * radius, r_xy * np.sin(ang)], axis=1)
+
+
+def write_dataset(root, n_train, n_test, size, radius, seed=0):
+    from PIL import Image
+
+    frames_by_split = {}
+    for split, n, s in [("train", n_train, seed), ("test", n_test, seed + 1)]:
+        os.makedirs(os.path.join(root, split), exist_ok=True)
+        frames = []
+        for i, pos in enumerate(sphere_positions(n, radius, s)):
+            frames.append({
+                "file_path": f"./{split}/r_{i}",
+                "transform_matrix": look_at_c2w_opengl(pos).tolist(),
+            })
+            Image.fromarray(
+                np.zeros((size, size, 3), np.uint8)
+            ).save(os.path.join(root, split, f"r_{i}.png"))
+        with open(os.path.join(root, f"transforms_{split}.json"), "w") as fh:
+            json.dump({"camera_angle_x": 0.8, "frames": frames}, fh)
+        frames_by_split[split] = frames
+    return frames_by_split
+
+
+def gt_scene(n, seed=7):
+    from sixdgs_tpu.scene.gaussians import from_arrays
+
+    rng = np.random.default_rng(seed)
+    arrs = {
+        "xyz": (rng.normal(size=(n, 3)) * 0.6).astype(np.float32),
+        "features_dc": (rng.normal(size=(n, 1, 3)) * 0.8).astype(np.float32),
+        "features_rest": (rng.normal(size=(n, 15, 3)) * 0.02).astype(np.float32),
+        "opacity": rng.uniform(0.0, 3.0, size=(n, 1)).astype(np.float32),
+        "scaling": rng.uniform(-3.6, -2.2, size=(n, 3)).astype(np.float32),
+        "rotation": rng.normal(size=(n, 4)).astype(np.float32),
+    }
+    cap = 1 << (n - 1).bit_length()
+    return from_arrays(arrs, max_sh_degree=3, capacity=cap), arrs
+
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--workdir", default="/tmp/sixdgs_quality")
+    ap.add_argument("--iterations", type=int, default=3000)
+    ap.add_argument("--size", type=int, default=400)
+    ap.add_argument("--n_train", type=int, default=28)
+    ap.add_argument("--n_test", type=int, default=6)
+    ap.add_argument("--n_gt", type=int, default=3000)
+    ap.add_argument("--radius", type=float, default=3.2)
+    ap.add_argument("--rasterizer", default="auto")
+    ap.add_argument("--chunk", type=int, default=256)
+    ap.add_argument("--keep", action="store_true",
+                    help="keep the workdir (default: wiped first)")
+    args = ap.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from sixdgs_tpu.apps import metrics as metrics_app
+    from sixdgs_tpu.apps import render as render_app
+    from sixdgs_tpu.apps import train_gs
+    from sixdgs_tpu.scene.cameras import camera_list_from_infos
+    from sixdgs_tpu.scene.dataset_loader import load_data
+    from sixdgs_tpu.scene.ply_io import store_point_cloud_ply
+    from sixdgs_tpu.train.gs_trainer import render_eval
+
+    root = os.path.join(args.workdir, "scene")
+    model_path = os.path.join(args.workdir, "out")
+    if not args.keep and os.path.isdir(args.workdir):
+        shutil.rmtree(args.workdir)
+    os.makedirs(root, exist_ok=True)
+
+    write_dataset(root, args.n_train, args.n_test, args.size, args.radius)
+    gt, gt_arrs = gt_scene(args.n_gt)
+
+    # init cloud: noisy GT means (the reference seeds from SfM points)
+    rng = np.random.default_rng(11)
+    pts = gt_arrs["xyz"] + rng.normal(scale=0.05, size=gt_arrs["xyz"].shape)
+    store_point_cloud_ply(
+        os.path.join(root, "points3d.ply"), pts,
+        rng.uniform(80, 180, size=pts.shape))
+
+    class LoaderArgs:
+        source_path = root
+        images = None
+        eval = True
+        white_background = False
+
+    info = load_data(LoaderArgs())
+    from PIL import Image
+
+    for ci in info.train_cameras + info.test_cameras:
+        cam = camera_list_from_infos([ci])[0]
+        img = np.asarray(
+            jnp.clip(render_eval(gt, cam, jnp.zeros(3), 3, args.chunk,
+                                 args.rasterizer), 0, 1))
+        Image.fromarray(
+            (img.transpose(1, 2, 0) * 255).round().astype(np.uint8)
+        ).save(ci.image_path)
+    print(f"GT: {args.n_gt} gaussians, "
+          f"{len(info.train_cameras)}+{len(info.test_cameras)} views "
+          f"{args.size}x{args.size}")
+
+    train_gs.main([
+        "--source_path", root,
+        "--model_path", model_path,
+        "--eval",
+        "--iterations", str(args.iterations),
+        "--test_iterations", str(args.iterations),
+        "--save_iterations", str(args.iterations),
+        "--rasterizer", args.rasterizer,
+        "--chunk", str(args.chunk),
+        "--quiet",
+    ])
+    render_app.main(["--model_path", model_path,
+                     "--iteration", str(args.iterations),
+                     "--chunk", str(args.chunk)])
+    metrics_app.main(["--model_paths", model_path])
+
+    with open(os.path.join(model_path, "results.json")) as fh:
+        results = json.load(fh)
+    key = f"test/ours_{args.iterations}"
+    out = {
+        "metric": "quality_workflow_psnr",
+        "value": round(results[key]["PSNR"], 2),
+        "unit": "dB",
+        "ssim": round(results[key]["SSIM"], 4),
+        "iterations": args.iterations,
+        "rasterizer": args.rasterizer,
+    }
+    print(json.dumps(out))
+    return out
+
+
+if __name__ == "__main__":
+    main()
