@@ -405,6 +405,15 @@ class GSTrainer:
             )
             if callback is not None and (it % log_every == 0 or it == iterations):
                 callback(it, jax.device_get(metrics), self)
+            # SAVE BEFORE the densify/opacity-reset block, like the reference
+            # (train.py:148-150 precedes :153-179) — otherwise a save
+            # iteration that coincides with opacity_reset_interval persists
+            # the freshly reset (near-transparent) opacities
+            if it in save_iterations and model_path:
+                path = os.path.join(
+                    model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
+                )
+                self.state.scene.save_ply(path)
             if it < opt.densify_until_iter:
                 if it > opt.densify_from_iter and it % opt.densification_interval == 0:
                     size_threshold = 20 if it > opt.opacity_reset_interval else None
@@ -422,11 +431,6 @@ class GSTrainer:
                     self.model_cfg.white_background and it == opt.densify_from_iter
                 ):
                     self.state = reset_opacity(self.state)
-            if it in save_iterations and model_path:
-                path = os.path.join(
-                    model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"
-                )
-                self.state.scene.save_ply(path)
             if it in checkpoint_iterations and model_path:
                 self.save_checkpoint(os.path.join(model_path, f"chkpnt{it}.npz"), it)
         return self.state

@@ -181,3 +181,31 @@ class TestTrainStep:
         np.testing.assert_allclose(
             np.asarray(params["xyz"]), tparam.detach().numpy(), atol=1e-5
         )
+
+
+class TestSaveOrdering:
+    def test_save_precedes_opacity_reset(self, synthetic_dataset, tmp_path):
+        """A save iteration that coincides with opacity_reset_interval must
+        persist the PRE-reset opacities (reference order: train.py:148-150
+        saves before the densify/reset block at :153-179). Regression: the
+        saved PLY used to contain the freshly reset <=0.01 opacities,
+        collapsing reloaded renders to ~8 dB."""
+        import jax.nn
+        from sixdgs_tpu.scene.gaussians import load_ply
+
+        cams = synthetic_dataset
+        info = make_scene_info(cams)
+        opt_cfg = OptimizationConfig(
+            iterations=6, densify_from_iter=100, opacity_reset_interval=6,
+        )
+        trainer = GSTrainer(ModelConfig(), opt_cfg, info, cams, [],
+                            capacity_bucket=256)
+        trainer.run(iterations=6, save_iterations=(6,),
+                    model_path=str(tmp_path), chunk=64)
+        ply = str(tmp_path / "point_cloud" / "iteration_6" / "point_cloud.ply")
+        scene = load_ply(ply, max_sh_degree=3)
+        saved_op = np.asarray(jax.nn.sigmoid(scene.opacity))
+        assert saved_op.max() > 0.011, "saved PLY contains reset opacities"
+        # the in-memory state HAS been reset after the save
+        live_op = np.asarray(jax.nn.sigmoid(trainer.state.scene.opacity))
+        assert live_op.max() <= 0.011
