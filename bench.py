@@ -24,17 +24,19 @@ V5E_PEAK_F32_FLOPS = 49.2e12  # MXU f32 ~= bf16/4
 V5E_HBM_GBPS = 819.0
 
 
-def timeit(fn, *args, n=20, warmup=2):
+def timeit(fn, *args, n=20, warmup=2, block_each=False):
     for _ in range(warmup):
         jax.block_until_ready(fn(*args))
     t0 = time.perf_counter()
     for _ in range(n):
         out = fn(*args)
+        if block_each:
+            jax.block_until_ready(out)
     jax.block_until_ready(out)
     return (time.perf_counter() - t0) / n * 1e3  # ms
 
 
-def bench_pose(n_rays=32768):
+def bench_pose(n_rays=32768, fused_only=False):
     """Headline: full single-image pose path, fused vs unfused."""
     from sixdgs_tpu.pose import dino
     from sixdgs_tpu.pose.evaluate import eval_image
@@ -66,6 +68,8 @@ def bench_pose(n_rays=32768):
         return eval_image(dino_params, id_params, img, mask, c2w, rays,
                           fused_attention=True)
 
+    if fused_only:
+        return timeit(run_fused), (id_params, rays)
     ms = timeit(run_unfused)
     try:
         ms = min(ms, timeit(run_fused))
@@ -153,8 +157,10 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
          jnp.zeros((PT.COLS - 9, n_pairs), jnp.float32)], axis=0)
     rec_t, starts, counts = jax.block_until_ready((rec_t, starts, counts))
 
+    # pipelined timing (block once at the end): per-call blocking would charge
+    # the ~25 ms tunnel round-trip to the kernel
     fwd = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
-    ms = timeit(fwd, rec_t, starts, counts, n=10)
+    ms = timeit(fwd, rec_t, starts, counts, n=30, warmup=3)
     n_real = int(starts[-1])
     bytes_moved = (PT.COLS * n_real * 4  # record planes streamed once
                    + nx * ny * 4 * 256 * 4)  # color+trans tiles written
@@ -218,6 +224,12 @@ def main():
     }
     on_tpu = jax.default_backend() in ("tpu", "axon")
     if on_tpu:
+        try:
+            # Mip-360 stress case (SURVEY §5.7): 4x the default ray budget
+            ms_stress, _ = bench_pose(n_rays=131072, fused_only=True)
+            result["pose_latency_131k_rays_ms"] = round(ms_stress, 3)
+        except Exception as e:  # pragma: no cover
+            result["pose_latency_131k_rays_ms"] = f"error: {type(e).__name__}"[:80]
         try:
             result["attention_kernel"] = bench_attention_kernel(id_params, rays)
         except Exception as e:  # pragma: no cover

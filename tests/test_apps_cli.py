@@ -62,3 +62,26 @@ def test_train_render_metrics_pipeline(tmp_path):
         results = json.load(fh)
     assert "test/ours_8" in results
     assert np.isfinite(results["test/ours_8"]["PSNR"])
+
+
+def test_quality_workflow_tool(tmp_path):
+    """tools/quality_workflow.py end-to-end at micro scale: GT scene ->
+    dataset -> train -> render -> metrics -> JSON summary."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+    from tools.quality_workflow import main as quality_main
+
+    out = quality_main([
+        "--workdir", str(tmp_path / "qw"),
+        "--iterations", "8",
+        "--size", "32",
+        "--n_train", "3",
+        "--n_test", "2",
+        "--n_gt", "60",
+        "--rasterizer", "tiled",
+        "--chunk", "64",
+    ])
+    assert out["metric"] == "quality_workflow_psnr"
+    assert np.isfinite(out["value"]) and out["value"] > 0
+    assert 0 <= out["ssim"] <= 1
