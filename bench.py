@@ -143,10 +143,10 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
         jnp.concatenate([proj.means2d, proj.conics, proj.colors,
                          jnp.where(visible, proj.opacities, 0.0)[:, None]],
                         axis=-1), order, inv)
-    tile_ids, pair_gidx, big_idx, _ = _make_pair_keys(
+    tile_ids, pair_gidx, mid_idx, _, big_idx, _ = _make_pair_keys(
         records[:, 0:2], proj.radii[order].astype(jnp.float32),
         visible[order], nx, ny, PT.TILE, 16)
-    planes = PT._expand_presort_planes(records, big_idx, 16, 1024)
+    planes = PT._expand_presort_planes(records, mid_idx, big_idx, 16, 64, 1024)
     sorted_tiles, sorted_planes, _ = PT._sort_planes(tile_ids, pair_gidx, planes, nx * ny, P)
     starts = jnp.searchsorted(
         sorted_tiles, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)

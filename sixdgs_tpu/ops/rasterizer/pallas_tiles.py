@@ -553,19 +553,26 @@ def _sort_planes_bwd(n_tiles, P, pair_order, grads):
 _sort_planes.defvjp(_sort_planes_fwd, _sort_planes_bwd)
 
 
-def _expand_presort_planes(records, big_idx, t_max: int, t_max_big: int):
-    """[P, 9] records -> tuple of 9 pre-sort pair planes [P*t_max + K*t_max_big].
+def _expand_presort_planes(records, mid_idx, big_idx, t_max: int,
+                           t_max_mid: int, t_max_big: int):
+    """[P, 9] records -> tuple of 9 pre-sort pair planes
+    [P*t_max + K2*t_max_mid + K*t_max_big].
 
-    Broadcast + reshape only (differentiable; the VJP is a reshape-sum plus a
-    K-row scatter-add) — replaces the per-pair row gather."""
+    Broadcast + reshape only (differentiable; the VJP is a reshape-sum plus
+    tiny tier-row scatter-adds) — replaces the per-pair row gather."""
     P = records.shape[0]
+    K2 = mid_idx.shape[0]
     K = big_idx.shape[0]
+    mid_records = records[mid_idx]  # [K2, 9] (tiny gather)
     big_records = records[big_idx]  # [K, 9] (tiny gather)
     planes = []
     for c in range(RECORD):
         main = jnp.broadcast_to(records[:, c][:, None], (P, t_max)).reshape(-1)
-        big = jnp.broadcast_to(big_records[:, c][:, None], (K, t_max_big)).reshape(-1)
-        planes.append(jnp.concatenate([main, big]))
+        mid = jnp.broadcast_to(
+            mid_records[:, c][:, None], (K2, t_max_mid)).reshape(-1)
+        big = jnp.broadcast_to(
+            big_records[:, c][:, None], (K, t_max_big)).reshape(-1)
+        planes.append(jnp.concatenate([main, mid, big]))
     return tuple(planes)
 
 
@@ -578,11 +585,13 @@ def rasterize_pallas(
     interpret: bool = False,
     overflow_k: int = 256,
     t_max_big: int = 1024,
+    mid_k: int = 4096,
+    t_max_mid: int = 64,
 ) -> jnp.ndarray:
     """Tile-binned rasterization via the Pallas kernels -> [3, H, W].
 
-    Same two-tier binning as tiles.rasterize_tiled; compositing + backward run
-    in the hand-written kernels (no k_max truncation)."""
+    Same three-tier binning as tiles.rasterize_tiled; compositing + backward
+    run in the hand-written kernels (no k_max truncation)."""
     nx = -(-width // TILE)
     ny = -(-height // TILE)
     n_tiles = nx * ny
@@ -593,6 +602,7 @@ def rasterize_pallas(
     opac_all = jnp.where(visible, proj.opacities, 0.0)
     P = proj.means2d.shape[0]
     overflow_k = min(overflow_k, P)
+    mid_k = min(mid_k, max(P - overflow_k, 0))
 
     records = _permute(
         jnp.concatenate(
@@ -606,13 +616,15 @@ def rasterize_pallas(
     means2d_sorted = jax.lax.stop_gradient(records[:, 0:2])
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
-    tile_ids, pair_gidx, big_idx, big_ok = _make_pair_keys(
+    tile_ids, pair_gidx, mid_idx, mid_ok, big_idx, big_ok = _make_pair_keys(
         means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
+        mid_k=mid_k, t_max_mid=t_max_mid,
     )
-    del big_ok  # invalid overflow rows carry the n_tiles sentinel already
+    del mid_ok, big_ok  # invalid tier rows carry the n_tiles sentinel already
 
-    presort_planes = _expand_presort_planes(records, big_idx, t_max, t_max_big)
+    presort_planes = _expand_presort_planes(records, mid_idx, big_idx, t_max,
+                                            t_max_mid, t_max_big)
     sorted_tiles, sorted_planes, _ = _sort_planes(
         tile_ids, pair_gidx, presort_planes, n_tiles, P
     )

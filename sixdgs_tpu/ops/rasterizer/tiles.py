@@ -62,36 +62,47 @@ def _permute_bwd(inv_perm, g):
 _permute.defvjp(_permute_fwd, _permute_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6))
-def _pair_gather(records, gidx_sorted, inv_order, big_idx, big_ok, t_max,
-                 t_max_big):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
+def _pair_gather(records, gidx_sorted, inv_order, mid_idx, mid_ok, big_idx,
+                 big_ok, t_max, t_max_mid, t_max_big):
     """records[gidx_sorted]: fused broadcast-to-pairs + sort-permutation over
-    the two-tier pair layout (P*t_max main slots + K*t_max_big overflow).
+    the three-tier pair layout (P*t_max main + K2*t_max_mid mid +
+    K*t_max_big giant slots).
 
     The transpose gathers by the inverse permutation and reduces the regular
-    per-gaussian slot blocks — no scatter except a K-row (overflow) add.
+    per-gaussian slot blocks — no scatter except the tiny tier-row adds.
     """
     return records[gidx_sorted]
 
 
-def _pair_gather_fwd(records, gidx_sorted, inv_order, big_idx, big_ok, t_max,
-                     t_max_big):
+def _pair_gather_fwd(records, gidx_sorted, inv_order, mid_idx, mid_ok,
+                     big_idx, big_ok, t_max, t_max_mid, t_max_big):
     return records[gidx_sorted], (
-        gidx_sorted, inv_order, big_idx, big_ok, records.shape[0],
+        gidx_sorted, inv_order, mid_idx, mid_ok, big_idx, big_ok,
+        records.shape[0],
     )
 
 
-def _pair_gather_bwd(t_max, t_max_big, res, g):
-    gidx_sorted, inv_order, big_idx, big_ok, P = res
+def _pair_gather_bwd(t_max, t_max_mid, t_max_big, res, g):
+    gidx_sorted, inv_order, mid_idx, mid_ok, big_idx, big_ok, P = res
+    K2 = mid_idx.shape[0]
     K = big_idx.shape[0]
     R = g.shape[-1]
     d_pair = g[inv_order]  # pre-sort pair order
     n_main = P * t_max
+    n_mid = K2 * t_max_mid
     d_main = jnp.sum(d_pair[:n_main].reshape(P, t_max, R), axis=1)
-    d_big = jnp.sum(d_pair[n_main:].reshape(K, t_max_big, R), axis=1)
-    d_big = jnp.where(big_ok[:, None], d_big, 0.0)
-    d_records = d_main.at[big_idx].add(d_big)  # K-row scatter-add (tiny)
-    return d_records, None, None, None, None
+    d_mid = jnp.sum(
+        d_pair[n_main : n_main + n_mid].reshape(K2, t_max_mid, R), axis=1
+    )
+    d_big = jnp.sum(d_pair[n_main + n_mid :].reshape(K, t_max_big, R), axis=1)
+    d_records = d_main.at[mid_idx].add(
+        jnp.where(mid_ok[:, None], d_mid, 0.0)
+    )
+    d_records = d_records.at[big_idx].add(
+        jnp.where(big_ok[:, None], d_big, 0.0)
+    )  # tier-row scatter-adds (tiny)
+    return d_records, None, None, None, None, None, None
 
 
 _pair_gather.defvjp(_pair_gather_fwd, _pair_gather_bwd)
@@ -172,98 +183,133 @@ def _rect_bounds(means2d, radii_f, nx: int, ny: int, tile: int):
     return x0, y0, x1, y1, cx, cy, area
 
 
+def _select_tiers(area, vis, t_max: int, mid_k: int, overflow_k: int):
+    """Pick the overflow tiers: top-(overflow_k) rects by area get the GIANT
+    budget, the next mid_k get the MID budget. Returns
+    (giant_idx, giant_ok, mid_idx, mid_ok, in_tier)."""
+    is_big = vis & (area > t_max)
+    score = jnp.where(is_big, area, -1)
+    vals, idx = jax.lax.top_k(score, overflow_k + mid_k)
+    ok = vals > 0
+    giant_idx, giant_ok = idx[:overflow_k], ok[:overflow_k]
+    mid_idx, mid_ok = idx[overflow_k:], ok[overflow_k:]
+    in_tier = jnp.zeros(area.shape[0], bool).at[idx].set(ok)
+    return giant_idx, giant_ok, mid_idx, mid_ok, in_tier
+
+
 def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
                        t_max: int, overflow_k: int = 256,
-                       t_max_big: int = 1024):
+                       t_max_big: int = 1024, mid_k: int = 4096,
+                       t_max_mid: int = 64):
     """Pairs dropped by the static binning caps (telemetry).
 
     The CUDA reference's binning is uncapped; these counters expose when the
-    two-tier budgets truncate coverage so training can flag it. Returns a dict
-    of scalars: dropped_main (tiles cut from non-overflow gaussians),
-    dropped_big (tiles cut from overflow-tier gaussians), overflow_spill
-    (gaussians that needed the big tier but it was full)."""
-    overflow_k = min(overflow_k, means2d.shape[0])
+    three-tier budgets truncate coverage so training can flag it. Returns a
+    dict of scalars: dropped_main (tiles cut from untier'd gaussians),
+    dropped_mid / dropped_big (tiles cut past the mid/giant budgets),
+    overflow_spill (gaussians that needed a tier but both were full)."""
+    P = means2d.shape[0]
+    overflow_k = min(overflow_k, P)
+    mid_k = min(mid_k, max(P - overflow_k, 0))
     *_, area = _rect_bounds(means2d, radii_f, nx, ny, tile)
     area = jnp.where(vis, area, 0)
-    is_big = area > t_max
-    score = jnp.where(is_big, area, -1)
-    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
-    big_ok = big_vals > 0
-    in_overflow = jnp.zeros(area.shape[0], bool).at[big_idx].set(big_ok)
+    giant_idx, giant_ok, mid_idx, mid_ok, in_tier = _select_tiers(
+        area, area > t_max, t_max, mid_k, overflow_k
+    )
     dropped_main = jnp.sum(
-        jnp.where(vis & ~in_overflow, jnp.maximum(area - t_max, 0), 0)
+        jnp.where(vis & ~in_tier, jnp.maximum(area - t_max, 0), 0)
+    )
+    dropped_mid = jnp.sum(
+        jnp.where(mid_ok, jnp.maximum(area[mid_idx] - t_max_mid, 0), 0)
     )
     dropped_big = jnp.sum(
-        jnp.where(in_overflow, jnp.maximum(area - t_max_big, 0), 0)
+        jnp.where(giant_ok, jnp.maximum(area[giant_idx] - t_max_big, 0), 0)
     )
-    overflow_spill = jnp.sum((is_big & ~in_overflow).astype(jnp.int32))
+    overflow_spill = jnp.sum(((area > t_max) & ~in_tier).astype(jnp.int32))
     return {
         "dropped_main": dropped_main,
+        "dropped_mid": dropped_mid,
         "dropped_big": dropped_big,
         "overflow_spill": overflow_spill,
     }
 
 
 def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
-                    t_max: int, overflow_k: int = 256, t_max_big: int = 1024):
-    """Pre-sort pair keys: (tile_ids, pair_gidx, big_idx, big_ok).
+                    t_max: int, overflow_k: int = 256, t_max_big: int = 1024,
+                    mid_k: int = 4096, t_max_mid: int = 64):
+    """Pre-sort pair keys:
+    (tile_ids, pair_gidx, mid_idx, mid_ok, giant_idx, giant_ok).
 
-    tile_ids: tile of each pre-sort pair slot (n_tiles sentinel = invalid);
-    pair_gidx: owning gaussian (depth rank) per slot — iota arithmetic for the
-    regular block (jnp.repeat measured ~23 ms at this scale vs ~0 for iota
-    math), a tiny table gather for the overflow block.
+    Slot blocks: [P*t_max main | mid_k*t_max_mid mid | overflow_k*t_max_big
+    giant]. tile_ids: tile of each pre-sort pair slot (n_tiles sentinel =
+    invalid); pair_gidx: owning gaussian (depth rank) per slot — iota
+    arithmetic for the regular block (jnp.repeat measured ~23 ms at this
+    scale vs ~0 for iota math), tiny table gathers for the tier blocks. The
+    mid tier (default 4096 x 64) exists because real trained scenes have
+    thousands of gaussians covering 17-64 tiles: with only the giant tier,
+    ~34%% of tile coverage was truncated on a 25k-gaussian trained scene.
     """
     P = means2d.shape[0]
     overflow_k = min(overflow_k, P)
+    mid_k = min(mid_k, max(P - overflow_k, 0))
     x0, y0, x1, y1, cx, cy, area = _rect_bounds(means2d, radii_f, nx, ny, tile)
 
-    is_big = vis & (area > t_max)
-    score = jnp.where(is_big, area, -1)
-    big_vals, big_idx = jax.lax.top_k(score, overflow_k)
-    big_ok = big_vals > 0
-    in_overflow = jnp.zeros(P, bool).at[big_idx].set(big_ok)
+    giant_idx, giant_ok, mid_idx, mid_ok, in_tier = _select_tiers(
+        area, vis & (area > t_max), t_max, mid_k, overflow_k
+    )
 
     main_ids = _rect_pairs(
-        x0, y0, x1, y1, cx, cy, vis & ~in_overflow, nx, ny, t_max
+        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max
     )  # [P, t_max]
-    big_ids = _rect_pairs(
-        x0[big_idx], y0[big_idx], x1[big_idx], y1[big_idx],
-        cx[big_idx], cy[big_idx], big_ok, nx, ny, t_max_big,
+    mid_ids = _rect_pairs(
+        x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx],
+        cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid,
+    )  # [K2, t_max_mid]
+    giant_ids = _rect_pairs(
+        x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
+        cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big,
     )  # [K, t_max_big]
 
-    tile_ids = jnp.concatenate([main_ids.reshape(-1), big_ids.reshape(-1)])
+    tile_ids = jnp.concatenate(
+        [main_ids.reshape(-1), mid_ids.reshape(-1), giant_ids.reshape(-1)]
+    )
     n_main = P * t_max
     pair_gidx = jnp.concatenate(
         [
             jnp.arange(n_main, dtype=jnp.int32) // t_max,
-            big_idx.astype(jnp.int32)[
+            mid_idx.astype(jnp.int32)[
+                jnp.arange(mid_k * t_max_mid, dtype=jnp.int32) // t_max_mid
+            ],
+            giant_idx.astype(jnp.int32)[
                 jnp.arange(overflow_k * t_max_big, dtype=jnp.int32) // t_max_big
             ],
         ]
     )
-    return tile_ids, pair_gidx, big_idx, big_ok
+    return tile_ids, pair_gidx, mid_idx, mid_ok, giant_idx, giant_ok
 
 
 def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
-               overflow_k: int = 256, t_max_big: int = 1024):
-    """(tile, pair) assignment for depth-ordered gaussians; two-tier budgets.
+               overflow_k: int = 256, t_max_big: int = 1024,
+               mid_k: int = 4096, t_max_mid: int = 64):
+    """(tile, pair) assignment for depth-ordered gaussians; 3-tier budgets.
 
-    Most gaussians cover few tiles and get ``t_max`` pair slots. Near-camera
-    gaussians can cover hundreds of tiles; capping them at t_max renders them
-    as thin tile bands (observed as 16-px striping). The ``overflow_k``
-    largest rects instead get ``t_max_big`` slots each — static shapes, and
-    the CUDA reference's uncapped binning is matched for any practical scene
-    (artifacts only beyond overflow_k simultaneous giant gaussians).
+    Most gaussians cover few tiles and get ``t_max`` pair slots; the mid_k
+    next-largest rects get ``t_max_mid``; the overflow_k largest get
+    ``t_max_big`` — static shapes, and the CUDA reference's uncapped binning
+    is matched for any practical scene (truncation is counted by
+    ``binning_saturation``).
 
     Returns (pair_order, sorted_tiles, starts, pair_rank, gidx_sorted,
-    big_idx, big_ok) — all index-space, differentiability-free.
-    ``gidx_sorted`` maps SORTED pair slots to depth-ordered gaussian indices;
-    use _invert_perm_payload(pair_order, ...) for pre-sort-indexed maps.
+    mid_idx, mid_ok, big_idx, big_ok) — all index-space,
+    differentiability-free. ``gidx_sorted`` maps SORTED pair slots to
+    depth-ordered gaussian indices; use _invert_perm_payload(pair_order, ...)
+    for pre-sort-indexed maps.
     """
     n_tiles = nx * ny
-    tile_ids, pair_gidx, big_idx, big_ok = _make_pair_keys(
+    tile_ids, pair_gidx, mid_idx, mid_ok, big_idx, big_ok = _make_pair_keys(
         means2d, radii_f, vis, nx, ny, tile, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
+        mid_k=mid_k, t_max_mid=t_max_mid,
     )
     n_pairs = tile_ids.shape[0]
 
@@ -292,7 +338,7 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     ]
     pair_rank = jnp.where(sorted_tiles < n_tiles, pair_rank, jnp.int32(1 << 30))
     return (pair_order, sorted_tiles, starts, pair_rank,
-            gidx_sorted, big_idx, big_ok)
+            gidx_sorted, mid_idx, mid_ok, big_idx, big_ok)
 
 
 def _fused_tile_key(tile_ids, pair_gidx, n_tiles: int, P: int):
@@ -328,6 +374,8 @@ def rasterize_tiled(
     kb: int = 32,  # kept for API compat; per-slot scan no longer blocks
     overflow_k: int = 256,
     t_max_big: int = 1024,
+    mid_k: int = 4096,
+    t_max_mid: int = 64,
 ) -> jnp.ndarray:
     """Tile-binned rasterization -> [3, H, W]."""
     nx = -(-width // tile)
@@ -335,6 +383,7 @@ def rasterize_tiled(
     n_tiles = nx * ny
     k_max = min(k_max, proj.means2d.shape[0] * t_max)
     overflow_k = min(overflow_k, proj.means2d.shape[0])
+    mid_k = min(mid_k, max(proj.means2d.shape[0] - overflow_k, 0))
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
@@ -354,15 +403,17 @@ def rasterize_tiled(
     vis = visible[order]
 
     (pair_order, sorted_tiles, starts, pair_rank,
-     gidx_sorted, big_idx, big_ok) = _bin_pairs(
+     gidx_sorted, mid_idx, mid_ok, big_idx, big_ok) = _bin_pairs(
         means2d, radii_f, vis, nx, ny, tile, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
+        mid_k=mid_k, t_max_mid=t_max_mid,
     )
     inv_order = _invert_perm_payload(
         pair_order, jnp.arange(pair_order.shape[0], dtype=jnp.int32)
     )
-    sorted_records = _pair_gather(records, gidx_sorted, inv_order, big_idx,
-                                  big_ok, t_max, t_max_big)
+    sorted_records = _pair_gather(records, gidx_sorted, inv_order, mid_idx,
+                                  mid_ok, big_idx, big_ok, t_max, t_max_mid,
+                                  t_max_big)
     windowed = _window(sorted_records, starts, sorted_tiles, pair_rank, k_max)
     counts = starts[1:] - starts[:-1]
     # scan over depth slots: [k_max, n_tiles, 9]. A sequential per-slot scan

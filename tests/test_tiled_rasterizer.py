@@ -127,14 +127,50 @@ class TestTiledParity:
         radii_f = proj.radii.astype(jnp.float32)
         sat = binning_saturation(proj.means2d, radii_f, vis, nx, ny, 16, 16)
         assert int(sat["dropped_main"]) == 0
+        assert int(sat["dropped_mid"]) == 0
         assert int(sat["dropped_big"]) == 0
         assert int(sat["overflow_spill"]) == 0
 
-        # starve the overflow tier: only 2 big slots for many big gaussians
+        # starve BOTH tiers: 2+2 slots for many big gaussians
         sat2 = binning_saturation(proj.means2d, radii_f, vis, nx, ny, 16,
-                                  t_max=1, overflow_k=2, t_max_big=4)
+                                  t_max=1, overflow_k=2, t_max_big=4,
+                                  mid_k=2, t_max_mid=2)
         assert int(sat2["overflow_spill"]) > 0
         assert int(sat2["dropped_main"]) > 0
+
+    def test_many_medium_gaussians_mid_tier(self):
+        """Hundreds of medium rects (17-60 tiles each, far beyond the 256-slot
+        giant tier) must render exactly — this is what the mid tier exists
+        for: a 25k-gaussian TRAINED scene measured ~5.7k such gaussians and
+        lost 34% of its tile coverage under two-tier binning."""
+        n = 400
+        rng = np.random.default_rng(21)
+        W = H = 320
+        means = rng.uniform(20, 300, size=(n, 2)).astype(np.float32)
+        # sigma 10-18 px -> radius 30-54 px -> rects of ~5x5..8x8 tiles
+        # (areas 23-60, inside the 64-slot mid budget)
+        sig = rng.uniform(10, 18, size=n).astype(np.float32)
+        conics = np.stack([1 / sig**2, np.zeros(n, np.float32), 1 / sig**2],
+                          axis=1).astype(np.float32)
+        radii = (3 * sig).astype(np.int32)
+        from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
+
+        proj = ProjectedGaussians(
+            means2d=jnp.asarray(means),
+            depths=jnp.asarray(np.linspace(1, 2, n).astype(np.float32)),
+            conics=jnp.asarray(conics),
+            radii=jnp.asarray(radii),
+            colors=jnp.asarray(rng.uniform(0, 1, size=(n, 3)).astype(np.float32)),
+            opacities=jnp.asarray(rng.uniform(0.1, 0.5, size=n).astype(np.float32)),
+        )
+        bg = jnp.full(3, 0.1)
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(rasterize_tiled(proj, W, H, bg, k_max=512))
+        np.testing.assert_allclose(img, ref, atol=1e-2)
+        from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
+
+        imgp = np.asarray(rasterize_pallas(proj, W, H, bg, interpret=True))
+        np.testing.assert_allclose(imgp, ref, atol=1e-2)
 
     def test_pathological_near_camera_gaussian(self):
         """One gaussian covering the whole screen (the VERDICT stress case):

@@ -151,13 +151,14 @@ def main():
         print(f"pglue depth-sort+permute: {timeit(stage_depth, proj.means2d, proj.conics, proj.colors, proj.opacities, proj.depths, proj.radii):8.2f} ms")
 
         keys_fn = jax.jit(lambda m, r, v: _make_pair_keys(m, r, v, nx, ny, 16, 16))
-        tile_ids, pair_gidx, big_idx, _ = jax.block_until_ready(
+        tile_ids, pair_gidx, mid_idx, _, big_idx, _ = jax.block_until_ready(
             keys_fn(rec[:, 0:2], radii_f, vis))
         print(f"pglue make_pair_keys: {timeit(keys_fn, rec[:, 0:2], radii_f, vis):8.2f} ms")
 
-        exp_fn = jax.jit(lambda r, b: PT._expand_presort_planes(r, b, 16, 1024))
-        planes = jax.block_until_ready(exp_fn(rec, big_idx))
-        print(f"pglue expand_planes: {timeit(exp_fn, rec, big_idx):8.2f} ms")
+        exp_fn = jax.jit(
+            lambda r, m, b: PT._expand_presort_planes(r, m, b, 16, 64, 1024))
+        planes = jax.block_until_ready(exp_fn(rec, mid_idx, big_idx))
+        print(f"pglue expand_planes: {timeit(exp_fn, rec, mid_idx, big_idx):8.2f} ms")
 
         sort_fn = jax.jit(lambda t, g, p: PT._sort_planes(t, g, p, nx * ny,
                                                           args.P))
