@@ -47,6 +47,12 @@ def build_parser():
                         help="'auto' picks the Pallas kernels on TPU and the "
                         "XLA tiled path elsewhere; 'scan' is the exact "
                         "full-frame golden model for small images")
+    parser.add_argument(
+        "--binning_tiers", type=int, nargs=5, default=None,
+        metavar=("T_MAX", "MID_K", "T_MAX_MID", "OVERFLOW_K", "T_MAX_BIG"),
+        help="per-gaussian tile-slot budgets of the 3 binning tiers "
+        "(default 16 4096 64 256 1024); tune per scene guided by the "
+        "binning_* saturation counters in the train metrics")
     parser.add_argument("--gui", action="store_true",
                         help="serve the SIBR remote viewer on --ip/--port "
                         "during training (reference network_gui parity)")
@@ -184,6 +190,7 @@ def main(argv=None):
         checkpoint_iterations=args.checkpoint_iterations,
         first_iteration=first_iteration,
         pre_step=pre_step,
+        **({"tiers": tuple(args.binning_tiers)} if args.binning_tiers else {}),
     )
     writer.close()
     print(f"\nTraining complete in {time.time() - t_start:.1f}s.")

@@ -231,6 +231,7 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         "dropped_mid": dropped_mid,
         "dropped_big": dropped_big,
         "overflow_spill": overflow_spill,
+        "total_area": jnp.sum(area),
     }
 
 

@@ -79,11 +79,19 @@ def init_train_state(scene: GaussianScene) -> GSTrainState:
     )
 
 
+# (t_max, mid_k, t_max_mid, overflow_k, t_max_big): per-gaussian tile-slot
+# budgets of the binning tiers — tune per scene/resolution guided by the
+# binning_* saturation telemetry in the train metrics
+DEFAULT_TIERS = (16, 4096, 64, 256, 1024)
+
+
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
-                   bg, means2d_offset, chunk, rasterizer: str = "scan"):
+                   bg, means2d_offset, chunk, rasterizer: str = "scan",
+                   tiers: tuple = DEFAULT_TIERS):
     from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
 
     rasterizer = resolve_rasterizer(rasterizer)
+    t_max, mid_k, t_max_mid, overflow_k, t_max_big = tiers
     scaling = jnp.exp(params["scaling"])
     cov3d = build_covariance(scaling, params["rotation"])
     opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
@@ -98,11 +106,15 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
     if rasterizer == "pallas":
         from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
 
-        img = rasterize_pallas(proj, width, height, bg)
+        img = rasterize_pallas(proj, width, height, bg, t_max=t_max,
+                               mid_k=mid_k, t_max_mid=t_max_mid,
+                               overflow_k=overflow_k, t_max_big=t_max_big)
     elif rasterizer == "tiled":
         from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
 
-        img = rasterize_tiled(proj, width, height, bg)
+        img = rasterize_tiled(proj, width, height, bg, t_max=t_max,
+                              mid_k=mid_k, t_max_mid=t_max_mid,
+                              overflow_k=overflow_k, t_max_big=t_max_big)
     else:
         img = rasterize_scan(proj, width, height, bg, chunk=chunk)
     return img, proj
@@ -111,7 +123,7 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "chunk", "lambda_dssim",
-                     "rasterizer"),
+                     "rasterizer", "tiers"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -126,6 +138,7 @@ def train_step(
     chunk: int = 256,
     lambda_dssim: float = 0.2,
     rasterizer: str = "scan",
+    tiers: tuple = DEFAULT_TIERS,
 ):
     """One training iteration (render + loss + backward + Adam + densify stats)."""
     active = state.scene.active
@@ -135,7 +148,7 @@ def train_step(
     def loss_fn(params, means2d_offset):
         img, proj = _render_params(
             params, active, cam, width, height, sh_degree, bg, means2d_offset,
-            chunk, rasterizer,
+            chunk, rasterizer, tiers,
         )
         loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
         return loss, (ll1, proj.radii, img,
@@ -169,9 +182,12 @@ def train_step(
         # uncapped, so surface any coverage the two-tier budgets dropped
         from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
 
+        t_max, mid_k, t_max_mid, overflow_k, t_max_big = tiers
         sat = binning_saturation(
             means2d, radii.astype(means2d.dtype), visible,
-            -(-width // 16), -(-height // 16), 16, 16,
+            -(-width // 16), -(-height // 16), 16, t_max,
+            overflow_k=overflow_k, t_max_big=t_max_big,
+            mid_k=mid_k, t_max_mid=t_max_mid,
         )
         metrics.update({f"binning_{k}": v for k, v in sat.items()})
     return new_state, metrics
@@ -302,12 +318,13 @@ def render_gui_camera(scene: GaussianScene, gui_cam, bg: jnp.ndarray,
 
 
 def render_eval(scene: GaussianScene, cam, bg: jnp.ndarray, sh_degree: int,
-                chunk: int = 256, rasterizer: str = "scan") -> jnp.ndarray:
+                chunk: int = 256, rasterizer: str = "scan",
+                tiers: tuple = DEFAULT_TIERS) -> jnp.ndarray:
     """Inference render of a host Camera (for eval loops)."""
     ca = camera_arrays(cam)
     img, _ = _render_params(
         scene.params(), scene.active, ca, cam.width, cam.height, sh_degree, bg,
-        jnp.zeros((scene.capacity, 2)), chunk, rasterizer,
+        jnp.zeros((scene.capacity, 2)), chunk, rasterizer, tiers,
     )
     return img
 
@@ -374,7 +391,8 @@ class GSTrainer:
             save_iterations=(), model_path: Optional[str] = None,
             callback=None, chunk: int = 256, rasterizer: str = "scan",
             checkpoint_iterations=(), first_iteration: int = 1,
-            pre_step=None):
+            pre_step=None, tiers: tuple = DEFAULT_TIERS,
+            adapt_tiers_every: int = 500, adapt_drop_threshold: float = 0.01):
         opt = self.opt
         iterations = iterations or opt.iterations
         for it in range(first_iteration, iterations + 1):
@@ -402,9 +420,35 @@ class GSTrainer:
                 chunk=chunk,
                 lambda_dssim=opt.lambda_dssim,
                 rasterizer=rasterizer,
+                tiers=tiers,
             )
             if callback is not None and (it % log_every == 0 or it == iterations):
                 callback(it, jax.device_get(metrics), self)
+            if (adapt_tiers_every and it % adapt_tiers_every == 0
+                    and "binning_total_area" in metrics):
+                # adaptive binning: widen the mid tier when the static caps
+                # truncate more than adapt_drop_threshold of tile coverage
+                # (the CUDA reference's binning is uncapped; this converges
+                # to it at the cost of a retrace per widening)
+                m = jax.device_get({k: metrics[k] for k in (
+                    "binning_dropped_main", "binning_dropped_mid",
+                    "binning_dropped_big", "binning_total_area")})
+                total = max(float(m["binning_total_area"]), 1.0)
+                ratio = (float(m["binning_dropped_main"])
+                         + float(m["binning_dropped_mid"])
+                         + float(m["binning_dropped_big"])) / total
+                if ratio > adapt_drop_threshold:
+                    t_max, mid_k, t_max_mid, ov_k, t_big = tiers
+                    if t_max_mid < 256:
+                        t_max_mid *= 2
+                    elif mid_k < 16384:
+                        mid_k *= 2
+                    new_tiers = (t_max, mid_k, t_max_mid, ov_k, t_big)
+                    if new_tiers != tiers:
+                        print(f"[{it}] binning truncation {ratio:.1%} > "
+                              f"{adapt_drop_threshold:.0%}: widening tiers "
+                              f"{tiers} -> {new_tiers}")
+                        tiers = new_tiers
             # SAVE BEFORE the densify/opacity-reset block, like the reference
             # (train.py:148-150 precedes :153-179) — otherwise a save
             # iteration that coincides with opacity_reset_interval persists

@@ -209,3 +209,21 @@ class TestSaveOrdering:
         # the in-memory state HAS been reset after the save
         live_op = np.asarray(jax.nn.sigmoid(trainer.state.scene.opacity))
         assert live_op.max() <= 0.011
+
+
+class TestAdaptiveTiers:
+    def test_truncation_widens_mid_tier(self, synthetic_dataset, capsys):
+        """With starved binning budgets and a tiny adapt interval, the
+        trainer must detect the truncation ratio and widen the mid tier
+        (converging toward the CUDA reference's uncapped binning)."""
+        cams = synthetic_dataset
+        info = make_scene_info(cams)
+        opt_cfg = OptimizationConfig(iterations=4, densify_from_iter=100)
+        trainer = GSTrainer(ModelConfig(), opt_cfg, info, cams, [],
+                            capacity_bucket=256)
+        trainer.run(iterations=4, chunk=64, rasterizer="tiled",
+                    tiers=(1, 4, 2, 2, 4), adapt_tiers_every=2,
+                    adapt_drop_threshold=1e-4)
+        out = capsys.readouterr().out
+        assert "widening tiers" in out, out
+        assert "(1, 4, 4, 2, 4)" in out, out
