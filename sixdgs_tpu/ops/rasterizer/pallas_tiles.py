@@ -1,40 +1,51 @@
 """Pallas tile-rasterizer kernels: forward + analytic backward.
 
-The jnp tiled path (tiles.py) and the round-1 aligned-layout glue both drown
-in XLA gathers: on TPU a 1D gather executes at ~7.5 ns/element and a row
-gather of per-pair records costs 50-80 ms at Mip-360 scale. Sorts, by
-contrast, are fast and payload-width-insensitive (2 keys + 10 f32 payloads of
-2.36M elements: 9.4 ms — barely above the 8.8 ms key-only sort). So this path
-contains NO large gathers:
+Compact-gather pipeline (v3). The CUDA reference sorts (tile | depth) 64-bit
+keys with ONE radix sort and walks per-tile segments
+(/root/reference/gaussian_renderer/__init__.py:36-93 call site; the submodule
+CUDA is not vendored). Earlier TPU revisions carried all 9 record planes as
+sort payloads, which made the XLA sort the dominant train-step cost (20 ms
+forward + 21 ms backward at Mip-360 scale). This revision exploits that the
+payload planes are pure per-gaussian broadcasts:
 
-  1. per-gaussian records are EXPANDED to pre-sort pair slots by broadcast +
-     reshape (pure data formatting, ~150 GB/s; the VJP is a reshape-sum),
-  2. ONE 2-key sort (tile major, depth-rank minor) carries the 9 record
-     planes + the pre-sort index as payloads, producing per-tile depth-ordered
-     contiguous segments directly (custom VJP: a second payload sort routes
-     plane cotangents back to pre-sort order — scatter- and gather-free),
-  3. the kernels stream each tile's COMPACT segment [starts[t], starts[t]+
-     count) from the stacked [16, N] plane matrix; Mosaic lane-offset
-     alignment is handled in-kernel by DMAing the KB-aligned enclosing chunks
-     and masking the leading/trailing foreign lanes (adjacent tiles re-read
-     one boundary chunk each; the backward read-merge-writes its first chunk
-     so neighbours' gradients survive, relying on sequential grid execution —
-     dimension_semantics "arbitrary").
+  1. build ONE fused u32 key per pre-sort pair slot:
+     (tile_id << gbits) | depth_rank — gaussians are depth-sorted first, so
+     the row index IS the depth rank and a single u32 sort yields per-tile
+     depth-ordered segments (XLA lowers the payload-free sort to its fast
+     path: ~3 ms for 2.6M keys vs ~22 ms with 10 payloads),
+  2. slice the first ``nc_pairs`` sorted slots (valid pairs sort before the
+     sentinel; the static budget is telemetry-guarded and auto-widened by the
+     trainer) and reconstruct the pair records with ONE flat row gather
+     records[key & mask], transposed once to the plane-major [16, NC]
+     layout the kernels DMA (Mosaic slices the lane dim at 128-pair
+     alignment and needs a multiple-of-8 sublane dim),
+  3. the backward routes the [9, NC] pair cotangents to per-gaussian records
+     with ONE gidx-keyed payload sort at compact (not slot) size, then a
+     cumsum + segment-boundary diff — boundaries come from the EXACT emitted
+     pair counts computed during binning, so no searchsorted over gaussians.
 
 Kernel structure per chunk of KB pairs — FULLY PARALLEL compositing (no
 serial transmittance loop):
-  1. vectorized alpha: [KB, 256] from field columns broadcast against the
+  1. vectorized alpha: [KB, 256] from record columns broadcast against the
      pixel vector (pure VPU),
-  2. log-transmittance via sublane log-step cumsum of log(1-a): with
-     Tplain = the plain running product, the CUDA stop test
-     Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays true, since every
-     later Tplain <= the violating product), so the serial done-latch is
-     exactly `cumsum(stop) > 0` and w_i = a_i * Tser_i * contribute_i where
-     Tser only multiplies contributing factors — bit-faithful to the
-     sequential replay, computed in O(log KB) shifted adds,
+  2. ONE sublane log-step cumprod of (1-a) gives the plain transmittance;
+     the CUDA stop test Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays
+     true, since every later plain product <= the violating one), so the
+     serial done-latch is cumsum(stop) > 0 — computed as a lower-triangular
+     MXU matmul (exact: 0/1 inputs, f32 accumulate). Before the first stop
+     the plain and serial transmittances coincide, so the contributing
+     weights are w_i = a_i * Texcl_i * contribute_i and the serial carry is
+     T * incP[last contributing] (a masked min, since incP is
+     non-increasing). This removes the second cumprod the previous revision
+     used to replay the serial product — semantically faithful to the
+     sequential replay (same stop ordering; tree-reordered f32 products round
+     differently, so values within rounding distance of T_EPS can flip the
+     stop test),
   3. color application / color gradients as MXU matmuls over the chunk.
-HBM chunk fetches are double-buffered (next chunk's DMA issued before
-computing the current one).
+HBM chunk fetches are double-buffered and the FIRST chunk of each tile is
+prefetched by the previous grid instance (sequential-grid "arbitrary"
+semantics). NC is a KB multiple, so every KB-aligned chunk DMA is in-bounds
+by construction (the round-2 advisor's partial-chunk overrun cannot occur).
 
 Backward math (standard 3DGS):
   C = sum_i c_i a_i T_i,  T_i = prod_{j<i}(1-a_j),  T_fin = prod_i(1-a_i)
@@ -45,10 +56,10 @@ recovers everything from the forward's final (C, T) residuals. The early-stop
 rule (contribution only while T*(1-a) >= 1e-4, CUDA `done` ordering) replays
 identically, so stopped gaussians get zero grads.
 
-Record planes (rows of the [16, N] matrix; 9 live + 7 padding):
+Record planes (rows of the [16, NC] matrix; 9 live + 7 padding):
 0:x 1:y 2:conA 3:conB 4:conC 5:r 6:g 7:b 8:opacity. Means are ABSOLUTE pixel
-coordinates; each kernel instance subtracts its tile origin from rows 0-1
-before the MXU transpose so the bf16x3 split keeps ~1e-6 px accuracy.
+coordinates; each kernel instance subtracts its tile origin before the MXU
+transpose so the bf16x3 split keeps ~1e-6 px accuracy.
 
 Replaces the diff-gaussian-rasterization CUDA submodule (interface
 reconstructed from /root/reference/gaussian_renderer/__init__.py:36-93).
@@ -65,17 +76,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from sixdgs_tpu.ops.rasterizer.compositing import ALPHA_MAX, ALPHA_MIN, T_EPS
 from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
-from sixdgs_tpu.ops.rasterizer.tiles import RECORD, _make_pair_keys, _permute
+from sixdgs_tpu.ops.rasterizer.tiles import RECORD, _fused_pair_keys, _permute
 
-COLS = 16  # padded record planes (sublane dim of the [16, N] matrix)
-KB = 128  # pairs per DMA chunk (lane-dim tiling alignment)
+COLS = 16  # padded record planes (sublane dim must be a multiple of 8)
+KB = 128  # pairs per DMA chunk (lane-dim tiling alignment; NC is a KB
+# multiple). 256 measured SLOWER (the kernels are VPU/scan-compute-bound;
+# per-chunk fixed costs are already hidden by the DMA pipelining).
 TILE = 16
 NPIX = TILE * TILE
+DEFAULT_NC = 1 << 20  # default compact pair budget (auto-clamped / widened)
 
 
 def _cumsum_sublane(x):
     """Inclusive cumsum along axis 0 of [KB, N]: log2(KB) shifted adds
-    (static slices — Mosaic lowers these as sublane shifts)."""
+    (static slices — Mosaic lowers these as sublane shifts). Exact f32
+    (used for the gradient prefix, where bf16 matmul passes would round)."""
     kb = x.shape[0]
     s = 1
     while s < kb:
@@ -103,25 +118,46 @@ def _excl(inc, fill):
         [jnp.full((1, inc.shape[1]), fill, inc.dtype), inc[:-1, :]], axis=0)
 
 
-def _composite_chunk(alpha, Tser, Tpl):
-    """Parallel replay of the sequential front-to-back compositing over one
-    [KB, 256] alpha chunk given carries Tser (serial transmittance) and Tpl
-    (plain running product), both [1, 256].
+def _tri_cumsum_exact_small(x):
+    """Inclusive cumsum along axis 0 via a lower-triangular MXU matmul.
 
-    The CUDA stop test Tplain*(1-a) < T_EPS is monotone in the row index
-    (every later plain product <= the violating one), so the serial done
-    latch is exactly cumsum(stop) > 0; Tser multiplies only contributing
-    factors. Returns (w, Tser_i, contribute, new_Tser, new_Tpl)."""
+    EXACT only for small-integer-valued inputs (stop flags): 0/1 entries are
+    bf16-exact and the MXU accumulates in f32, so default precision is one
+    fast pass instead of log2(KB) VPU shifts."""
+    kb = x.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 1)
+    tri = (j <= i).astype(jnp.float32)
+    return jax.lax.dot_general(
+        tri, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+
+def _composite_chunk(alpha, T, done):
+    """Parallel replay of the sequential front-to-back compositing over one
+    [KB, 256] alpha chunk given carries T (serial transmittance) and done
+    (early-stop latch), both [1, 256].
+
+    The CUDA stop test Tplain*(1-a) < T_EPS is monotone in the row index, so
+    the serial done latch is cumsum(stop) > 0; before the first stop the
+    plain cumprod IS the serial transmittance, so one cumprod suffices.
+    Returns (w, Texcl, contribute, new_T, new_done)."""
     one_minus = 1.0 - alpha
     incP = _cumprod_sublane(one_minus)
-    Tpl_i = Tpl * _excl(incP, 1.0)  # exclusive plain transmittance
-    stop = (Tpl_i * one_minus < T_EPS).astype(jnp.float32)
-    contribute = (_cumsum_sublane(stop) < 0.5).astype(jnp.float32)
-    fser = one_minus * contribute + (1.0 - contribute)
-    incS = _cumprod_sublane(fser)
-    Tser_i = Tser * _excl(incS, 1.0)  # exclusive serial transmittance
-    w = alpha * Tser_i * contribute
-    return w, Tser_i, contribute, Tser * incS[-1:, :], Tpl * incP[-1:, :]
+    Texcl = T * _excl(incP, 1.0)  # exclusive transmittance (== serial while
+    # no stop has fired; rows past a stop are masked by `contribute`)
+    stopf = jnp.where(
+        (Texcl * one_minus < T_EPS) | (done > 0.5), 1.0, 0.0)
+    contribute = _tri_cumsum_exact_small(stopf) < 0.5
+    w = alpha * Texcl * jnp.where(contribute, 1.0, 0.0)
+    # serial carry: T * incP[last contributing row]; incP is non-increasing
+    # (factors <= 1), so that's a masked min; no contributing row -> T stays
+    incP_c = jnp.where(contribute, incP, 2.0)
+    minP = jnp.min(incP_c, axis=0, keepdims=True)
+    new_T = jnp.where(minP > 1.5, T, T * minP)
+    new_done = jnp.maximum(done, jnp.max(stopf, axis=0, keepdims=True))
+    return w, Texcl, contribute, new_T, new_done
 
 
 def _pixel_coords():
@@ -150,7 +186,10 @@ def _transpose_matmul(x, out_rows):
 def _chunk_alpha(buf, px, py, lo, hi):
     """Vectorized per-chunk alphas [KB, 256] + intermediates.
 
-    buf: [KB, COLS] record rows for this chunk; valid lanes are [lo, hi)."""
+    buf: [KB, COLS] record rows for this chunk (tile-local means); valid
+    rows are [lo, hi). (An MXU factorization of the quadratic exponent was
+    tried and measured SLOWER — the K=8 contraction wastes the systolic
+    array; the VPU form stays.)"""
     xs = buf[:, 0:1]
     ys = buf[:, 1:2]
     conA = buf[:, 2:3]
@@ -228,7 +267,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
                                 sem, t, base, n_chunks)
 
     def chunk_body(ci, carry):
-        Tser, Tpl, C = carry  # [1, 256], [1, 256], [3, 256]
+        T, done, C = carry  # [1, 256], [1, 256], [3, 256]
         slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
 
         @pl.when(ci + 1 < n_chunks)
@@ -242,7 +281,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
         alpha, _, _, _, _ = _chunk_alpha(buf, px, py, lo, hi)
-        w, _, _, Tser, Tpl = _composite_chunk(alpha, Tser, Tpl)
+        w, _, _, T, done = _composite_chunk(alpha, T, done)
         colors = buf[:, 5:8]  # [KB, 3]
         C = C + jax.lax.dot_general(
             colors, w,
@@ -250,14 +289,15 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
         )  # [3, 256]
-        return Tser, Tpl, C
+        return T, done, C
 
     T0 = jnp.ones((1, NPIX), jnp.float32)
+    D0 = jnp.zeros((1, NPIX), jnp.float32)
     C0 = jnp.zeros((3, NPIX), jnp.float32)
     _, (T, _, C) = jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, jnp.ones((1, NPIX), jnp.float32), C0)),
+        (0, (T0, D0, C0)),
     )
     color_ref[0] = C
     trans_ref[0] = T
@@ -265,7 +305,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 
 def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
                 trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, gbuf,
-                obuf, sem, gsem, osem):
+                tailbuf, tail_base, sem, gsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -295,8 +335,12 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
 
+    @pl.when(t == 0)
+    def _():
+        tail_base[0] = -1
+
     def chunk_body(ci, carry):
-        Tser, Tpl, acc = carry  # transmittances, prefix of <dC, c_j> w_j
+        T, done, acc = carry  # transmittance, stop latch, <dC,c_j> w_j prefix
         slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
 
         @pl.when(ci + 1 < n_chunks)
@@ -314,12 +358,14 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         dbuf = jnp.dot(colors, dC, preferred_element_type=jnp.float32,
                        precision=jax.lax.Precision.HIGHEST)  # [KB, 256]
 
-        w, Tser_i, contribute, Tser, Tpl = _composite_chunk(alpha, Tser, Tpl)
-        # inclusive prefix of <dC, c_j> w_j, replayed in parallel
+        w, Texcl, contribute, T, done = _composite_chunk(alpha, T, done)
+        # inclusive prefix of <dC, c_j> w_j, replayed in parallel (exact f32
+        # shifted adds — bf16 matmul passes would round the gradient)
         acc_i = acc + _cumsum_sublane(dbuf * w)  # [KB, 256]
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-        da_all = dbuf * Tser_i - (dCC - acc_i) / one_minus - dTT / one_minus
-        da_all = jnp.where((contribute > 0.0) & (alpha > 0.0), da_all, 0.0)
+        # Texcl == the serial T_i on contributing rows; masked elsewhere
+        da_all = dbuf * Texcl - (dCC - acc_i) / one_minus - dTT / one_minus
+        da_all = jnp.where(contribute & (alpha > 0.0), da_all, 0.0)
         acc = acc_i[-1:, :]
 
         # vectorized chain rule over the chunk
@@ -347,28 +393,17 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 
         gvals = jnp.concatenate(
             [dmx, dmy, dconA, dconB, dconC, dcol, dopac,
-             jnp.zeros((KB, COLS - 9), jnp.float32)],
+             jnp.zeros((KB, COLS - RECORD), jnp.float32)],
             axis=1,
         )  # [KB, COLS]
         lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
         gnew = _transpose_matmul(gvals, COLS)  # [COLS, KB]
-        # boundary chunk: lanes < lo belong to the PREVIOUS tile which already
-        # wrote (and completed: it drains its writes before finishing) its
-        # gradients here — read-merge-write (sequential grid)
-        @pl.when(lo > 0)
-        def _():
-            pltpu.make_async_copy(
-                dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-                obuf, osem,
-            ).start()
-            pltpu.make_async_copy(
-                dpairs_hbm.at[:, pl.ds(pl.multiple_of(base + ci * KB, KB), KB)],
-                obuf, osem,
-            ).wait()
-
-        @pl.when(lo <= 0)
-        def _():
-            obuf[:] = jnp.zeros((COLS, KB), jnp.float32)
+        # boundary chunk: lanes < lo belong to the PREVIOUS tile, whose last
+        # chunk IS this KB-aligned chunk (lo > 0 implies the previous
+        # non-empty tile ended inside it). The sequential grid lets its
+        # merged values ride along in the tailbuf scratch — a VMEM copy
+        # instead of the former HBM read-modify-write round trip.
+        merged = jnp.where(lane < lo, tailbuf[:], gnew)
 
         # lazy double-buffered write-back: reclaim a gbuf slot only when the
         # write issued two chunks ago has drained (instead of stalling on
@@ -379,16 +414,23 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         def _():
             dma_w(ci - 2, gslot).wait()
 
-        gbuf[gslot] = jnp.where(lane < lo, obuf[:], gnew)
+        gbuf[gslot] = merged
         dma_w(ci, gslot).start()
-        return Tser, Tpl, acc
+
+        @pl.when(ci == n_chunks - 1)
+        def _():
+            tailbuf[:] = merged
+            tail_base[0] = base + ci * KB
+
+        return T, done, acc
 
     T0 = jnp.ones((1, NPIX), jnp.float32)
+    D0 = jnp.zeros((1, NPIX), jnp.float32)
     acc0 = jnp.zeros((1, NPIX), jnp.float32)
     jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, jnp.ones((1, NPIX), jnp.float32), acc0)),
+        (0, (T0, D0, acc0)),
     )
     # drain outstanding gradient writes before the next instance reads its
     # boundary chunk
@@ -404,8 +446,8 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                          counts: jnp.ndarray, nx: int, ny: int,
                          interpret: bool = False):
-    """records: [16, N] sorted record planes (compact per-tile segments);
-    starts [n_tiles+1]; counts [n_tiles].
+    """records: [16, NC] sorted compact pair record planes (9 live rows;
+    NC a KB multiple); starts [n_tiles+1]; counts [n_tiles].
     Returns (color [n_tiles,3,256], trans [n_tiles,1,256])."""
     n_tiles = nx * ny
     color, trans = pl.pallas_call(
@@ -443,12 +485,13 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
 
 def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
                          trans, dcolor, dtrans, interpret: bool = False):
-    """Per-pair gradients [16, N] (same compact layout as records).
+    """Per-pair gradients [16, NC] (same compact layout as records).
 
-    Boundary chunks are read-merge-written, so the grid must execute
+    Boundary chunks are merged through a persistent VMEM tail-carry (the
+    previous tile's last merged chunk), so the grid must execute
     sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
-    n_pairs = records.shape[1]
+    nc = records.shape[1]
     dpairs = pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -469,13 +512,13 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             scratch_shapes=[
                 pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf (stream+prefetch)
                 pltpu.VMEM((2, COLS, KB), jnp.float32),  # gbuf (lazy writes)
-                pltpu.VMEM((COLS, KB), jnp.float32),  # obuf (RMW neighbour)
+                pltpu.VMEM((COLS, KB), jnp.float32),  # tailbuf (boundary carry)
+                pltpu.SMEM((1,), jnp.int32),  # tail_base
                 pltpu.SemaphoreType.DMA((4,)),  # sem (reads)
                 pltpu.SemaphoreType.DMA((2,)),  # gsem (writes)
-                pltpu.SemaphoreType.DMA(()),  # osem (RMW read)
             ],
         ),
-        out_shape=jax.ShapeDtypeStruct((COLS, n_pairs), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((COLS, nc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, dimension_semantics=("arbitrary",)
         ),
@@ -517,63 +560,45 @@ def _composite_bwd(nx, ny, interpret, res, grads):
 _composite.defvjp(_composite_fwd, _composite_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _sort_planes(tile_ids, pair_gidx, planes, n_tiles=1 << 30, P=1 << 30):
-    """(tile major, depth minor) sort carrying the record planes (tuple of
-    [N] f32) + pre-sort index. Uses ONE fused i32 key when n_tiles/P bit
-    budgets allow (saves a payload permutation pass vs a 2-key sort).
-    Returns (sorted_tiles, sorted_planes, pair_order)."""
-    from sixdgs_tpu.ops.rasterizer.tiles import _fused_tile_key
+@jax.custom_vjp
+def _gather_pairs(records, gidx_c, v_real, ends_g, counts_g):
+    """records[gidx_c]: the ONE flat row gather that reconstructs the sorted
+    compact pair records [NC, 9] from per-gaussian records [P, 9].
 
-    n = tile_ids.shape[0]
-    iota = jnp.arange(n, dtype=jnp.int32)
-    key, gbits = _fused_tile_key(tile_ids, pair_gidx, n_tiles, P)
-    if key is not None:
-        out = jax.lax.sort((key,) + tuple(planes) + (iota,), num_keys=1)
-        sorted_tiles = jax.lax.shift_right_logical(out[0], gbits)
-        return sorted_tiles, tuple(out[1:-1]), out[-1]
-    out = jax.lax.sort((tile_ids, pair_gidx) + tuple(planes) + (iota,),
-                       num_keys=2, is_stable=True)
-    return out[0], tuple(out[2:-1]), out[-1]
+    The transpose is a per-gaussian segment sum over the pair cotangents —
+    scatter-free: one gidx-keyed payload sort groups each gaussian's pairs
+    contiguously, then a cumsum + boundary diff (boundaries from the EXACT
+    emitted counts computed during binning) reduces the segments."""
+    del v_real, ends_g, counts_g
+    return records[gidx_c].T  # [9, NC] plane-major (padded to 16 by caller)
 
 
-def _sort_planes_fwd(tile_ids, pair_gidx, planes, n_tiles, P):
-    res = _sort_planes(tile_ids, pair_gidx, planes, n_tiles, P)
-    return res, res[2]  # pair_order
+def _gather_pairs_fwd(records, gidx_c, v_real, ends_g, counts_g):
+    return records[gidx_c].T, (
+        gidx_c, v_real, ends_g, counts_g, records.shape[0])
 
 
-def _sort_planes_bwd(n_tiles, P, pair_order, grads):
-    _, dplanes, _ = grads
-    # route plane cotangents back to pre-sort order with ONE key-value sort
-    # (out[perm[s]] = payload[s]); scatter- and gather-free
-    out = jax.lax.sort((pair_order,) + tuple(dplanes), num_keys=1)
-    return None, None, tuple(out[1:])
+def _gather_pairs_bwd(res, d):
+    gidx_c, v_real, ends_g, counts_g, P = res
+    r, nc = d.shape  # [9, NC] plane-major: each payload is a contiguous row
+    rows = jnp.arange(nc, dtype=jnp.int32)
+    # sentinel slots (>= v_real) carry a REAL gaussian index in the key low
+    # bits; rebucket them past every segment so boundaries stay aligned
+    gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
+    out = jax.lax.sort((gkey,) + tuple(d[c] for c in range(r)), num_keys=1)
+    cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)  # [NC, 9]
+    cum0 = jnp.concatenate([jnp.zeros((1, r), cum.dtype), cum], axis=0)
+    hi = cum0[jnp.minimum(ends_g, nc)]
+    lo = cum0[jnp.minimum(ends_g - counts_g, nc)]
+    d_rec = hi - lo
+    # truncated step (emitted pairs > NC budget): the boundaries are invalid
+    # — drop this step's gradients (the trainer widens nc_pairs on the
+    # binning_real_pairs telemetry and retraces)
+    d_rec = jnp.where(ends_g[-1] <= nc, d_rec, 0.0)
+    return d_rec, None, None, None, None
 
 
-_sort_planes.defvjp(_sort_planes_fwd, _sort_planes_bwd)
-
-
-def _expand_presort_planes(records, mid_idx, big_idx, t_max: int,
-                           t_max_mid: int, t_max_big: int):
-    """[P, 9] records -> tuple of 9 pre-sort pair planes
-    [P*t_max + K2*t_max_mid + K*t_max_big].
-
-    Broadcast + reshape only (differentiable; the VJP is a reshape-sum plus
-    tiny tier-row scatter-adds) — replaces the per-pair row gather."""
-    P = records.shape[0]
-    K2 = mid_idx.shape[0]
-    K = big_idx.shape[0]
-    mid_records = records[mid_idx]  # [K2, 9] (tiny gather)
-    big_records = records[big_idx]  # [K, 9] (tiny gather)
-    planes = []
-    for c in range(RECORD):
-        main = jnp.broadcast_to(records[:, c][:, None], (P, t_max)).reshape(-1)
-        mid = jnp.broadcast_to(
-            mid_records[:, c][:, None], (K2, t_max_mid)).reshape(-1)
-        big = jnp.broadcast_to(
-            big_records[:, c][:, None], (K, t_max_big)).reshape(-1)
-        planes.append(jnp.concatenate([main, mid, big]))
-    return tuple(planes)
+_gather_pairs.defvjp(_gather_pairs_fwd, _gather_pairs_bwd)
 
 
 def rasterize_pallas(
@@ -587,11 +612,15 @@ def rasterize_pallas(
     t_max_big: int = 1024,
     mid_k: int = 4096,
     t_max_mid: int = 64,
+    nc_pairs: int = 0,
 ) -> jnp.ndarray:
     """Tile-binned rasterization via the Pallas kernels -> [3, H, W].
 
-    Same three-tier binning as tiles.rasterize_tiled; compositing + backward
-    run in the hand-written kernels (no k_max truncation)."""
+    Same three-tier binning as tiles.rasterize_tiled; ONE payload-free u32
+    key sort + compact row gather builds the per-tile segments; compositing +
+    backward run in the hand-written kernels (no k_max truncation).
+    ``nc_pairs``: compact pair budget (0 = min(DEFAULT_NC, slot count));
+    saturation is visible as ``real_pairs`` in ``binning_saturation``."""
     nx = -(-width // TILE)
     ny = -(-height // TILE)
     n_tiles = nx * ny
@@ -616,29 +645,44 @@ def rasterize_pallas(
     means2d_sorted = jax.lax.stop_gradient(records[:, 0:2])
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
-    tile_ids, pair_gidx, mid_idx, mid_ok, big_idx, big_ok = _make_pair_keys(
+    key, tile_ids, gidx_all, counts_g, gbits = _fused_pair_keys(
         means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
         mid_k=mid_k, t_max_mid=t_max_mid,
     )
-    del mid_ok, big_ok  # invalid tier rows carry the n_tiles sentinel already
+    n_slots = P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
+    n_slots_pad = -(-n_slots // KB) * KB
+    nc = min(-(-(nc_pairs or DEFAULT_NC) // KB) * KB, n_slots_pad)
 
-    presort_planes = _expand_presort_planes(records, mid_idx, big_idx, t_max,
-                                            t_max_mid, t_max_big)
-    sorted_tiles, sorted_planes, _ = _sort_planes(
-        tile_ids, pair_gidx, presort_planes, n_tiles, P
-    )
+    if key is not None:
+        pad = n_slots_pad - n_slots
+        if pad:
+            sentinel = jnp.uint32(n_tiles) << gbits
+            key = jnp.concatenate([key, jnp.full(pad, sentinel, jnp.uint32)])
+        skey = jax.lax.sort((key,), num_keys=1)[0][:nc]
+        gidx_c = jax.lax.bitwise_and(
+            skey, jnp.uint32((1 << gbits) - 1)).astype(jnp.int32)
+        tiles_c = jax.lax.shift_right_logical(
+            skey, jnp.uint32(gbits)).astype(jnp.int32)
+    else:
+        pad = n_slots_pad - n_slots
+        if pad:
+            tile_ids = jnp.concatenate(
+                [tile_ids, jnp.full(pad, n_tiles, jnp.int32)])
+            gidx_all = jnp.concatenate([gidx_all, jnp.zeros(pad, jnp.int32)])
+        tiles_s, gidx_s = jax.lax.sort((tile_ids, gidx_all), num_keys=2)
+        tiles_c, gidx_c = tiles_s[:nc], gidx_s[:nc]
+
     starts = jnp.searchsorted(
-        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32)
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
+    ends_g = jnp.cumsum(counts_g).astype(jnp.int32)  # [P] inclusive
 
-    # stack planes into the [16, N] matrix the kernels DMA from
-    n_pairs = tile_ids.shape[0]
-    zeros = jnp.zeros((COLS - RECORD, n_pairs), jnp.float32)
+    recs_c = _gather_pairs(records, gidx_c, starts[n_tiles], ends_g, counts_g)
     records_t = jnp.concatenate(
-        [jnp.stack(sorted_planes, axis=0), zeros], axis=0
-    )  # [16, N]
+        [recs_c, jnp.zeros((COLS - RECORD, nc), jnp.float32)], axis=0
+    )  # [16, NC]; the concat VJP is a row slice
 
     color, trans = _composite(records_t, starts, counts, nx, ny, interpret)
     out_tiles = color + trans * bg_color[None, :, None]  # [n_tiles, 3, 256]

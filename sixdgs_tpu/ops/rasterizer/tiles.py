@@ -151,12 +151,27 @@ _window.defvjp(_window_fwd, _window_bwd)
 # ------------------------------------------------------------------ binning
 
 
-def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
-    """Tile ids [G, budget] of a centered sub-rect capped to ``budget`` tiles."""
+def _emit_counts(x0, y0, x1, y1, valid, budget: int):
+    """Exact number of (tile, gaussian) pairs ``_rect_pairs`` emits per
+    gaussian: the centered sub-rect area capped to ``budget``, zero for empty
+    rects (a rect fully clipped off-screen emits nothing — same as the CUDA
+    getRect binning)."""
     rw = jnp.maximum(x1 - x0, 0)
     rh = jnp.maximum(y1 - y0, 0)
     max_w = jnp.minimum(rw, budget)
     max_h = jnp.maximum(jnp.minimum(rh, budget // jnp.maximum(max_w, 1)), 1)
+    nv = jnp.where(valid & (rw > 0) & (rh > 0), max_w * max_h, 0)
+    return nv, max_w, max_h
+
+
+def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
+    """(tile ids [G, budget], emitted counts [G]) of a centered sub-rect
+    capped to ``budget`` tiles.
+
+    Slots [0, counts[g]) of row g carry real tile ids (in-bounds by
+    construction: the sub-rect is clipped inside [x0,x1)x[y0,y1) which is
+    clipped to the tile grid); the rest carry the n_tiles sentinel."""
+    nv, max_w, max_h = _emit_counts(x0, y0, x1, y1, valid, budget)
     sx0 = jnp.clip(cx - max_w // 2, x0, jnp.maximum(x1 - max_w, x0))
     sy0 = jnp.clip(cy - max_h // 2, y0, jnp.maximum(y1 - max_h, y0))
     p = jnp.arange(budget, dtype=jnp.int32)
@@ -164,11 +179,9 @@ def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
     ph = p[None, :] // jnp.maximum(max_w, 1)[:, None]
     tx = sx0[:, None] + pw
     ty = sy0[:, None] + ph
-    pair_valid = (
-        valid[:, None] & (p[None, :] < (max_w * max_h)[:, None]) & (tx < nx) & (ty < ny)
-    )
+    pair_valid = p[None, :] < nv[:, None]
     n_tiles = nx * ny
-    return jnp.where(pair_valid, ty * nx + tx, n_tiles)
+    return jnp.where(pair_valid, ty * nx + tx, n_tiles), nv
 
 
 def _rect_bounds(means2d, radii_f, nx: int, ny: int, tile: int):
@@ -226,12 +239,23 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         jnp.where(giant_ok, jnp.maximum(area[giant_idx] - t_max_big, 0), 0)
     )
     overflow_spill = jnp.sum(((area > t_max) & ~in_tier).astype(jnp.int32))
+    # exact emitted pair count (the compact-gather pipeline's nc_pairs budget
+    # must exceed this; the trainer widens nc_pairs when it saturates)
+    x0, y0, x1, y1, *_ = _rect_bounds(means2d, radii_f, nx, ny, tile)
+    main_n, _, _ = _emit_counts(x0, y0, x1, y1, vis & ~in_tier, t_max)
+    mid_n, _, _ = _emit_counts(
+        x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx], mid_ok, t_max_mid)
+    big_n, _, _ = _emit_counts(
+        x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
+        giant_ok, t_max_big)
+    real_pairs = jnp.sum(main_n) + jnp.sum(mid_n) + jnp.sum(big_n)
     return {
         "dropped_main": dropped_main,
         "dropped_mid": dropped_mid,
         "dropped_big": dropped_big,
         "overflow_spill": overflow_spill,
         "total_area": jnp.sum(area),
+        "real_pairs": real_pairs,
     }
 
 
@@ -259,14 +283,14 @@ def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         area, vis & (area > t_max), t_max, mid_k, overflow_k
     )
 
-    main_ids = _rect_pairs(
+    main_ids, _ = _rect_pairs(
         x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max
     )  # [P, t_max]
-    mid_ids = _rect_pairs(
+    mid_ids, _ = _rect_pairs(
         x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx],
         cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid,
     )  # [K2, t_max_mid]
-    giant_ids = _rect_pairs(
+    giant_ids, _ = _rect_pairs(
         x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
         cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big,
     )  # [K, t_max_big]
@@ -287,6 +311,69 @@ def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         ]
     )
     return tile_ids, pair_gidx, mid_idx, mid_ok, giant_idx, giant_ok
+
+
+def _fused_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
+                     t_max: int, overflow_k: int = 256, t_max_big: int = 1024,
+                     mid_k: int = 4096, t_max_mid: int = 64):
+    """Pre-sort pair data for the compact-gather pipeline (pallas path).
+
+    Returns (key, tile_ids, gidx, counts_g, gbits):
+      * key: [N_slots] uint32 fused (tile << gbits) | depth-rank when the bit
+        budget fits (tbits + gbits <= 32), else None;
+      * tile_ids/gidx: the unfused [N_slots] i32 pair when key is None
+        (2-key sort fallback), else None;
+      * counts_g: [P] i32 exact emitted pair count per depth-ranked gaussian
+        (the segment lengths of the backward gidx-sorted routing);
+      * gbits: bits of the depth-rank field.
+
+    Same three-tier budgets and emission set as ``_make_pair_keys``; the key
+    carries (tile major, depth-rank minor) so ONE u32 radix-friendly sort
+    replaces the CUDA (tile | depth) 64-bit radix sort
+    (/root/reference/gaussian_renderer/__init__.py:36-93 call site).
+    """
+    P = means2d.shape[0]
+    n_tiles = nx * ny
+    overflow_k = min(overflow_k, P)
+    mid_k = min(mid_k, max(P - overflow_k, 0))
+    x0, y0, x1, y1, cx, cy, area = _rect_bounds(means2d, radii_f, nx, ny, tile)
+    giant_idx, giant_ok, mid_idx, mid_ok, in_tier = _select_tiers(
+        area, vis & (area > t_max), t_max, mid_k, overflow_k
+    )
+    main_ids, main_n = _rect_pairs(
+        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max)
+    mid_ids, mid_n = _rect_pairs(
+        x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx],
+        cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid)
+    big_ids, big_n = _rect_pairs(
+        x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
+        cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big)
+
+    counts_g = (
+        main_n.at[mid_idx].add(jnp.where(mid_ok, mid_n, 0))
+        .at[giant_idx].add(jnp.where(giant_ok, big_n, 0))
+    )  # tiered gaussians emit 0 in the main block, so add == set
+
+    gbits = max(1, (P - 1).bit_length())
+    tbits = max(1, n_tiles.bit_length())  # tile ids go up to the sentinel
+    g_main = jax.lax.broadcasted_iota(jnp.int32, (P, t_max), 0)
+    g_mid = jnp.broadcast_to(mid_idx[:, None], mid_ids.shape)
+    g_big = jnp.broadcast_to(giant_idx[:, None], big_ids.shape)
+    if tbits + gbits <= 32:
+        def pack(ids, g):
+            return (ids.astype(jnp.uint32) << gbits) | g.astype(jnp.uint32)
+
+        key = jnp.concatenate([
+            pack(main_ids, g_main).reshape(-1),
+            pack(mid_ids, g_mid).reshape(-1),
+            pack(big_ids, g_big).reshape(-1),
+        ])
+        return key, None, None, counts_g, gbits
+    tile_ids = jnp.concatenate(
+        [main_ids.reshape(-1), mid_ids.reshape(-1), big_ids.reshape(-1)])
+    gidx = jnp.concatenate(
+        [g_main.reshape(-1), g_mid.reshape(-1), g_big.reshape(-1)])
+    return None, tile_ids, gidx, counts_g, gbits
 
 
 def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,

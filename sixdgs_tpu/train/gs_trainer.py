@@ -368,12 +368,17 @@ class GSTrainer:
     def _camera_arrays(self, cam) -> CameraArrays:
         """Device-cached CameraArrays: the reference re-uploads each image to
         the GPU every step (train.py:108-111); here each camera's arrays are
-        staged to HBM once and reused (~2 MB/camera at 1080p-class inputs)."""
+        staged to HBM once and reused (~2 MB/camera at 1080p-class inputs).
+
+        The cache holds a reference to the camera object itself, so an id()
+        can never be recycled to alias a different (GC'd) camera, and a
+        rebuilt camera list simply misses and re-stages."""
         key = id(cam)
-        ca = self._cam_arrays.get(key)
-        if ca is None:
-            ca = camera_arrays(cam)
-            self._cam_arrays[key] = ca
+        hit = self._cam_arrays.get(key)
+        if hit is not None and hit[0] is cam:
+            return hit[1]
+        ca = camera_arrays(cam)
+        self._cam_arrays[key] = (cam, ca)
         return ca
 
     def save_checkpoint(self, path: str, iteration: int) -> None:
