@@ -25,9 +25,13 @@ payload planes are pure per-gaussian broadcasts:
      pair counts computed during binning, so no searchsorted over gaussians.
 
 Kernel structure per chunk of KB pairs — FULLY PARALLEL compositing (no
-serial transmittance loop):
-  1. vectorized alpha: [KB, 256] from record columns broadcast against the
-     pixel vector (pure VPU),
+serial transmittance loop), in a PIXELS-IN-SUBLANES / PAIRS-IN-LANES frame:
+record planes stream as natural [1, KB] rows of the plane-major chunk and
+broadcast against [NPIX, 1] pixel columns, so NO per-chunk transpose exists
+anywhere (a 6-pass HIGHEST-precision MXU transpose per chunk previously cost
+more than the whole compositing scan):
+  1. vectorized alpha: [NPIX, KB] from record rows broadcast against the
+     pixel columns (pure VPU),
   2. ONE sublane log-step cumprod of (1-a) gives the plain transmittance;
      the CUDA stop test Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays
      true, since every later plain product <= the violating one), so the
@@ -58,8 +62,8 @@ identically, so stopped gaussians get zero grads.
 
 Record planes (rows of the [16, NC] matrix; 9 live + 7 padding):
 0:x 1:y 2:conA 3:conB 4:conC 5:r 6:g 7:b 8:opacity. Means are ABSOLUTE pixel
-coordinates; each kernel instance subtracts its tile origin before the MXU
-transpose so the bf16x3 split keeps ~1e-6 px accuracy.
+coordinates; each kernel instance subtracts its tile origin from the [1, KB]
+mean rows (f32 throughout — no bf16 split is involved anymore).
 
 Replaces the diff-gaussian-rasterization CUDA submodule (interface
 reconstructed from /root/reference/gaussian_renderer/__init__.py:36-93).
@@ -87,124 +91,161 @@ NPIX = TILE * TILE
 DEFAULT_NC = 1 << 20  # default compact pair budget (auto-clamped / widened)
 
 
-def _cumsum_sublane(x):
-    """Inclusive cumsum along axis 0 of [KB, N]: log2(KB) shifted adds
-    (static slices — Mosaic lowers these as sublane shifts). Exact f32
-    (used for the gradient prefix, where bf16 matmul passes would round)."""
-    kb = x.shape[0]
-    s = 1
-    while s < kb:
-        x = x + jnp.concatenate(
-            [jnp.zeros((s, x.shape[1]), x.dtype), x[:-s, :]], axis=0)
-        s *= 2
-    return x
-
-
-def _cumprod_sublane(x):
-    """Inclusive cumprod along axis 0 of [KB, N]: log2(KB) shifted multiplies
-    (no log/exp roundtrip — same f32 error class as a sequential product)."""
-    kb = x.shape[0]
-    s = 1
-    while s < kb:
-        x = x * jnp.concatenate(
-            [jnp.ones((s, x.shape[1]), x.dtype), x[:-s, :]], axis=0)
-        s *= 2
-    return x
-
-
-def _excl(inc, fill):
-    """Shift an inclusive scan down one row -> exclusive scan."""
-    return jnp.concatenate(
-        [jnp.full((1, inc.shape[1]), fill, inc.dtype), inc[:-1, :]], axis=0)
-
-
-def _tri_cumsum_exact_small(x):
-    """Inclusive cumsum along axis 0 via a lower-triangular MXU matmul.
-
-    EXACT only for small-integer-valued inputs (stop flags): 0/1 entries are
-    bf16-exact and the MXU accumulates in f32, so default precision is one
-    fast pass instead of log2(KB) VPU shifts."""
-    kb = x.shape[0]
+def _tri_mats(kb):
+    """(strict-upper, inclusive-upper) triangular 0/1 bf16 [kb, kb] matrices.
+    dot(x, triS)[p, i] = sum_{j<i} x[p, j]  (exclusive lane prefix)
+    dot(x, triI)[p, i] = sum_{j<=i} x[p, j] (inclusive lane prefix)
+    Built once per kernel instance (outside the chunk loop)."""
     i = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 0)
     j = jax.lax.broadcasted_iota(jnp.int32, (kb, kb), 1)
-    tri = (j <= i).astype(jnp.float32)
+    return ((i < j).astype(jnp.bfloat16), (i <= j).astype(jnp.bfloat16))
+
+
+def _split_bf16(x):
+    """Exact-ish 2-term bf16 split of f32 (hi + lo reproduces ~16 mantissa
+    bits; residual ~2^-16 relative — plenty for transmittance logs and
+    gradient prefixes, at 2 MXU passes instead of HIGHEST's 6)."""
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+_DN_NT = (((1,), (0,)), ((), ()))
+
+
+def _matmul_scan(x, tri):
+    """Lane prefix sums of [R, KB] via 2 bf16 MXU passes with f32 accumulate.
+
+    Lane-shift scans are REAL ops on TPU (cross-lane rotates, ~3 passes per
+    log-step -> ~1 us/chunk); sublane shifts would be free but pairs live in
+    lanes in this kernel frame. One [R,KB]x[KB,KB] matmul against a 0/1
+    triangular matrix does the whole scan on the MXU instead."""
+    hi, lo = _split_bf16(x)
+    return (jax.lax.dot_general(hi, tri, _DN_NT,
+                                preferred_element_type=jnp.float32)
+            + jax.lax.dot_general(lo, tri, _DN_NT,
+                                  preferred_element_type=jnp.float32))
+
+
+def _matmul_split3(a, b, dn=_DN_NT):
+    """f32-accurate matmul in 3 bf16 MXU passes (hi*hi + hi*lo + lo*hi;
+    the dropped lo*lo term is ~2^-32 relative) — vs HIGHEST's 6 passes."""
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    f32 = jnp.float32
+    return (jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
+
+
+def _composite_chunk(alpha, LT, done, triS, triI, ones_col):
+    """Parallel replay of the sequential front-to-back compositing over one
+    [NPIX, KB] alpha chunk (pixels in sublanes, pairs in lanes) given carries
+    LT (LOG serial transmittance) and done (early-stop latch), [NPIX, 1].
+
+    The cumprod runs in log domain on the MXU: one_minus >= 1-ALPHA_MAX so
+    log is well-conditioned; masked lanes contribute log(1) = 0. The CUDA
+    stop test Tplain*(1-a) < T_EPS is monotone in the pair index, so the
+    serial done latch is cumsum(stop) > 0 (one exact 0/1 tri matmul);
+    ``contribute`` is a per-pixel PREFIX mask along lanes, so the new done
+    latch is the negation of its last lane, and the serial carry is
+    T * exp(sum of contributing logs) — no lane reductions anywhere.
+    Returns (w, Texcl, contribute, new_T, new_done)."""
+    one_minus = 1.0 - alpha
+    l = jnp.log(one_minus)  # 0.0 on masked lanes (alpha == 0)
+    Texcl = jnp.exp(LT + _matmul_scan(l, triS))  # serial transmittance
+    # (valid while no stop has fired; lanes past a stop are masked below)
+    stopf = ((Texcl * one_minus < T_EPS) | (done > 0.5)).astype(jnp.bfloat16)
+    contribute = jax.lax.dot_general(
+        stopf, triI, _DN_NT, preferred_element_type=jnp.float32) < 0.5
+    w = alpha * Texcl * jnp.where(contribute, 1.0, 0.0)
+    # serial carry: LT + sum of CONTRIBUTING logs (contribute is 0/1 so the
+    # masking preserves the bf16 split exactly); staying in log domain means
+    # no exp and no multiply on the carry path
+    lc = jnp.where(contribute, l, 0.0)
+    new_LT = LT + _matmul_scan(lc, ones_col)  # [NPIX, 1]
+    new_done = jnp.where(contribute[:, -1:], done, 1.0)
+    return w, Texcl, contribute, new_LT, new_done
+
+
+def _to_row(col):
+    """[N, 1] -> [1, N] via an MXU identity matmul (lax.transpose of narrow
+    tiles doesn't lower; the identity is bf16-exact so HIGHEST splits only
+    the data operand)."""
+    n = col.shape[0]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ident = (i == j).astype(jnp.float32)
     return jax.lax.dot_general(
-        tri, x, dimension_numbers=(((1,), (0,)), ((), ())),
+        col, ident, dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )
 
 
-def _composite_chunk(alpha, T, done):
-    """Parallel replay of the sequential front-to-back compositing over one
-    [KB, 256] alpha chunk given carries T (serial transmittance) and done
-    (early-stop latch), both [1, 256].
-
-    The CUDA stop test Tplain*(1-a) < T_EPS is monotone in the row index, so
-    the serial done latch is cumsum(stop) > 0; before the first stop the
-    plain cumprod IS the serial transmittance, so one cumprod suffices.
-    Returns (w, Texcl, contribute, new_T, new_done)."""
-    one_minus = 1.0 - alpha
-    incP = _cumprod_sublane(one_minus)
-    Texcl = T * _excl(incP, 1.0)  # exclusive transmittance (== serial while
-    # no stop has fired; rows past a stop are masked by `contribute`)
-    stopf = jnp.where(
-        (Texcl * one_minus < T_EPS) | (done > 0.5), 1.0, 0.0)
-    contribute = _tri_cumsum_exact_small(stopf) < 0.5
-    w = alpha * Texcl * jnp.where(contribute, 1.0, 0.0)
-    # serial carry: T * incP[last contributing row]; incP is non-increasing
-    # (factors <= 1), so that's a masked min; no contributing row -> T stays
-    incP_c = jnp.where(contribute, incP, 2.0)
-    minP = jnp.min(incP_c, axis=0, keepdims=True)
-    new_T = jnp.where(minP > 1.5, T, T * minP)
-    new_done = jnp.maximum(done, jnp.max(stopf, axis=0, keepdims=True))
-    return w, Texcl, contribute, new_T, new_done
+def _to_col(row):
+    """[1, N] -> [N, 1] via an MXU identity matmul."""
+    n = row.shape[1]
+    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
+    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
+    ident = (i == j).astype(jnp.float32)
+    return jax.lax.dot_general(
+        ident, row, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
+    )
 
 
-def _pixel_coords():
-    """Tile-LOCAL pixel coords [1, 256]."""
-    lin = jax.lax.broadcasted_iota(jnp.int32, (1, NPIX), 1)
+def _pixel_cols():
+    """Tile-LOCAL pixel coords as [NPIX, 1] sublane columns."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 1), 0)
     px = (lin % TILE).astype(jnp.float32)
     py = (lin // TILE).astype(jnp.float32)
     return px, py
 
 
-def _transpose_matmul(x, out_rows):
-    """[R, C] -> [C, R] via an MXU matmul with an identity (Mosaic-safe;
-    lax.transpose of narrow tiles doesn't lower)."""
-    c = x.shape[1]
-    i = jax.lax.broadcasted_iota(jnp.int32, (out_rows, c), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (out_rows, c), 1)
-    ident = (i == j).astype(jnp.float32)  # [C, C] when out_rows == c
-    return jax.lax.dot_general(
-        ident, x,
-        dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )  # [out_rows, R]
+def _moment_basis():
+    """[NPIX, 8] monomial basis (1, px, py, px^2, px*py, py^2, 0, 0).
+
+    Every entry is an integer <= 225 — bf16-exact — so the MXU moment matmul
+    splits only the gradient operand. The backward's six conic/mean
+    gradients are linear combinations of the moments
+    m_ab = sum_px s * px^a * py^b, so ONE [8-sublane x full-lane] matmul
+    replaces seven per-pair pixel reductions."""
+    lin = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 8), 1)
+    px = (lin % TILE).astype(jnp.float32)
+    py = (lin // TILE).astype(jnp.float32)
+    vals = [jnp.ones_like(px), px, py, px * px, px * py, py * py,
+            jnp.zeros_like(px), jnp.zeros_like(px)]
+    out = jnp.zeros((NPIX, 8), jnp.float32)
+    for c, v in enumerate(vals):
+        out = jnp.where(col == c, v, out)
+    return out
 
 
-def _chunk_alpha(buf, px, py, lo, hi):
-    """Vectorized per-chunk alphas [KB, 256] + intermediates.
+def _chunk_alpha(buf, px, py, ox, oy, lo, hi):
+    """Vectorized per-chunk alphas [NPIX, KB] + intermediates.
 
-    buf: [KB, COLS] record rows for this chunk (tile-local means); valid
-    rows are [lo, hi). (An MXU factorization of the quadratic exponent was
-    tried and measured SLOWER — the K=8 contraction wastes the systolic
-    array; the VPU form stays.)"""
-    xs = buf[:, 0:1]
-    ys = buf[:, 1:2]
-    conA = buf[:, 2:3]
-    conB = buf[:, 3:4]
-    conC = buf[:, 4:5]
-    opac = buf[:, 8:9]
-    dx = px - xs  # [KB, 256]
+    buf: [16, KB] plane-major record rows for this chunk (absolute means;
+    the tile origin is subtracted from the [1, KB] mean rows — record planes
+    broadcast against the pixel columns with NO transpose). Valid lanes are
+    [lo, hi)."""
+    xs = buf[0:1, :] - ox  # [1, KB] tile-local
+    ys = buf[1:2, :] - oy
+    conA = buf[2:3, :]
+    conB = buf[3:4, :]
+    conC = buf[4:5, :]
+    opac = buf[8:9, :]
+    dx = px - xs  # [NPIX, KB]
     dy = py - ys
     power = -0.5 * (conA * dx * dx + conC * dy * dy) - conB * dx * dy
     g_raw = jnp.exp(power)
     alpha = jnp.minimum(ALPHA_MAX, opac * g_raw)
-    k_ids = jax.lax.broadcasted_iota(jnp.int32, (KB, 1), 0)
+    k_ids = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
     live = (power <= 0.0) & (alpha >= ALPHA_MIN) & (k_ids >= lo) & (k_ids < hi)
     alpha = jnp.where(live, alpha, 0.0)
-    return alpha, g_raw, dx, dy, live
+    return alpha, g_raw, live, opac
 
 
 def _segment_bounds(start, count):
@@ -255,7 +296,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     start = starts_ref[t]
     count = counts_ref[t]
     base, lead, n_chunks = _segment_bounds(start, count)
-    px, py = _pixel_coords()
+    px, py = _pixel_cols()
     nx = nx_ref[0]
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
@@ -265,9 +306,11 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
+    triS, triI = _tri_mats(KB)
+    ones_col = jnp.ones((KB, 1), jnp.bfloat16)
 
     def chunk_body(ci, carry):
-        T, done, C = carry  # [1, 256], [1, 256], [3, 256]
+        LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [3, NPIX]
         slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
 
         @pl.when(ci + 1 < n_chunks)
@@ -275,52 +318,50 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
             dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
 
         dma(ci, slot).wait()
-        rid = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 0)
-        off = jnp.where(rid == 0, ox, 0.0) + jnp.where(rid == 1, oy, 0.0)
-        buf = _transpose_matmul(tbuf[slot] - off, KB)  # [KB, COLS]
+        buf = tbuf[slot]  # [16, KB] plane-major — no transpose needed
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
-        alpha, _, _, _, _ = _chunk_alpha(buf, px, py, lo, hi)
-        w, _, _, T, done = _composite_chunk(alpha, T, done)
-        colors = buf[:, 5:8]  # [KB, 3]
+        alpha, _, _, _ = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
+        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS, triI,
+                                             ones_col)
+        colors = buf[5:8, :]  # [3, KB]
         C = C + jax.lax.dot_general(
-            colors, w,
-            dimension_numbers=(((0,), (0,)), ((), ())),
+            colors, w, (((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [3, 256]
-        return T, done, C
+            precision=jax.lax.Precision.HIGHEST)
+        return LT, done, C
 
-    T0 = jnp.ones((1, NPIX), jnp.float32)
-    D0 = jnp.zeros((1, NPIX), jnp.float32)
+    LT0 = jnp.zeros((NPIX, 1), jnp.float32)
+    D0 = jnp.zeros((NPIX, 1), jnp.float32)
     C0 = jnp.zeros((3, NPIX), jnp.float32)
-    _, (T, _, C) = jax.lax.while_loop(
+    _, (LT, _, C) = jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, D0, C0)),
+        (0, (LT0, D0, C0)),
     )
     color_ref[0] = C
-    trans_ref[0] = T
+    trans_ref[0] = _to_row(jnp.exp(LT))
 
 
 def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
                 trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, gbuf,
-                tailbuf, tail_base, sem, gsem):
+                tailbuf, sem, gsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
     base, lead, n_chunks = _segment_bounds(start, count)
-    px, py = _pixel_coords()
+    px, py = _pixel_cols()
     nx = nx_ref[0]
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
 
-    C_total = color_ref[0]  # [3, 256]
-    T_fin = trans_ref[0]  # [1, 256]
-    dC = dcolor_ref[0]  # [3, 256]
-    dT = dtrans_ref[0]  # [1, 256]
-    dCC = jnp.sum(dC * C_total, axis=0, keepdims=True)  # [1, 256]
-    dTT = dT * T_fin  # [1, 256]
+    C_total = color_ref[0]  # [3, NPIX]
+    dC = dcolor_ref[0]  # [3, NPIX]
+    dCC = _to_col(jnp.sum(dC * C_total, axis=0, keepdims=True))  # [NPIX, 1]
+    dTT = _to_col(dtrans_ref[0] * trans_ref[0])  # [NPIX, 1]
+    basis = _moment_basis()
+    triS, triI = _tri_mats(KB)
+    ones_col = jnp.ones((KB, 1), jnp.bfloat16)
 
     def dma(ci, slot):
         return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
@@ -335,12 +376,8 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
 
-    @pl.when(t == 0)
-    def _():
-        tail_base[0] = -1
-
     def chunk_body(ci, carry):
-        T, done, acc = carry  # transmittance, stop latch, <dC,c_j> w_j prefix
+        LT, done, acc = carry  # log-T, stop latch, <dC,c_j> w_j prefix
         slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
 
         @pl.when(ci + 1 < n_chunks)
@@ -348,61 +385,76 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
             dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
 
         dma(ci, slot).wait()
-        rid = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 0)
-        off = jnp.where(rid == 0, ox, 0.0) + jnp.where(rid == 1, oy, 0.0)
-        buf = _transpose_matmul(tbuf[slot] - off, KB)  # [KB, COLS]
+        buf = tbuf[slot]  # [16, KB] plane-major
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
-        alpha, g_raw, dx, dy, live = _chunk_alpha(buf, px, py, lo, hi)
-        colors = buf[:, 5:8]  # [KB, 3]
-        dbuf = jnp.dot(colors, dC, preferred_element_type=jnp.float32,
-                       precision=jax.lax.Precision.HIGHEST)  # [KB, 256]
+        alpha, g_raw, live, opac = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
+        colors = buf[5:8, :]  # [3, KB]
+        dbuf = _matmul_split3(dC, colors, (((0,), (0,)), ((), ())))
+        # [NPIX, KB]
 
-        w, Texcl, contribute, T, done = _composite_chunk(alpha, T, done)
-        # inclusive prefix of <dC, c_j> w_j, replayed in parallel (exact f32
-        # shifted adds — bf16 matmul passes would round the gradient)
-        acc_i = acc + _cumsum_sublane(dbuf * w)  # [KB, 256]
+        w, Texcl, contribute, LT, done = _composite_chunk(
+            alpha, LT, done, triS, triI, ones_col)
+        # inclusive prefix of <dC, c_j> w_j, replayed in parallel (2-pass
+        # bf16-split MXU scan: ~2^-16 relative, ample for a gradient prefix)
+        acc_i = acc + _matmul_scan(dbuf * w, triI)  # [NPIX, KB]
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
-        # Texcl == the serial T_i on contributing rows; masked elsewhere
+        # Texcl == the serial T_i on contributing lanes; masked elsewhere
         da_all = dbuf * Texcl - (dCC - acc_i) / one_minus - dTT / one_minus
         da_all = jnp.where(contribute & (alpha > 0.0), da_all, 0.0)
-        acc = acc_i[-1:, :]
+        acc = acc_i[:, -1:]
 
-        # vectorized chain rule over the chunk
-        opac = buf[:, 8:9]
-        conA = buf[:, 2:3]
-        conB = buf[:, 3:4]
-        conC = buf[:, 4:5]
+        # chain rule over the chunk. With s = da*g_raw and tile-local pixel
+        # moments m_ab = sum_px s * px^a py^b (ONE MXU matmul against the
+        # bf16-exact monomial basis), the six conic/mean gradients are:
+        #   dconA = -0.5*opac*(m20 - 2 xs m10 + xs^2 m00)
+        #   dconB =   -opac*(m11 - xs m01 - ys m10 + xs ys m00)
+        #   dconC = -0.5*opac*(m02 - 2 ys m01 + ys^2 m00)
+        #   dmx   =  opac*(conA*(m10 - xs m00) + conB*(m01 - ys m00))
+        #   dmy   =  opac*(conC*(m01 - ys m00) + conB*(m10 - xs m00))
+        #   dopac =  m00
+        # — every per-pair reduction over pixels lands in one [8, KB] result,
+        # and the remaining algebra is [1, KB] row arithmetic.
         clamped = (opac * g_raw) > ALPHA_MAX
-        da_all = jnp.where(clamped | (~live), 0.0, da_all)
-        dopac = jnp.sum(da_all * g_raw, axis=1, keepdims=True)  # [KB, 1]
-        dpower = da_all * g_raw * opac
-        dconA = jnp.sum(dpower * (-0.5 * dx * dx), axis=1, keepdims=True)
-        dconB = jnp.sum(dpower * (-dx * dy), axis=1, keepdims=True)
-        dconC = jnp.sum(dpower * (-0.5 * dy * dy), axis=1, keepdims=True)
-        dpow_dx = dpower * (-(conA * dx + conB * dy))
-        dpow_dy = dpower * (-(conC * dy + conB * dx))
-        dmx = -jnp.sum(dpow_dx, axis=1, keepdims=True)
-        dmy = -jnp.sum(dpow_dy, axis=1, keepdims=True)
-        dcol = jax.lax.dot_general(
-            w, dC,
-            dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
-        )  # [KB, 3]
+        s = jnp.where(clamped | (~live), 0.0, da_all) * g_raw  # [NPIX, KB]
+        m_hi, m_lo = _split_bf16(s)
+        dn_m = (((0,), (0,)), ((), ()))
+        m = (jax.lax.dot_general(basis.astype(jnp.bfloat16), m_hi, dn_m,
+                                 preferred_element_type=jnp.float32)
+             + jax.lax.dot_general(basis.astype(jnp.bfloat16), m_lo, dn_m,
+                                   preferred_element_type=jnp.float32)
+             )  # [8, KB] — the basis is bf16-exact, so 2 passes suffice
+        m00 = m[0:1, :]
+        m10 = m[1:2, :]
+        m01 = m[2:3, :]
+        m20 = m[3:4, :]
+        m11 = m[4:5, :]
+        m02 = m[5:6, :]
+        xs = buf[0:1, :] - ox
+        ys = buf[1:2, :] - oy
+        conA = buf[2:3, :]
+        conB = buf[3:4, :]
+        conC = buf[4:5, :]
+        cx = m10 - xs * m00  # centered first moments
+        cy = m01 - ys * m00
+        dconA = -0.5 * opac * (m20 - 2.0 * xs * m10 + xs * xs * m00)
+        dconB = -opac * (m11 - xs * m01 - ys * m10 + xs * ys * m00)
+        dconC = -0.5 * opac * (m02 - 2.0 * ys * m01 + ys * ys * m00)
+        dmx = opac * (conA * cx + conB * cy)
+        dmy = opac * (conC * cy + conB * cx)
+        dcol = _matmul_split3(dC, w, (((1,), (0,)), ((), ())))  # [3, KB]
 
-        gvals = jnp.concatenate(
-            [dmx, dmy, dconA, dconB, dconC, dcol, dopac,
-             jnp.zeros((KB, COLS - RECORD), jnp.float32)],
-            axis=1,
-        )  # [KB, COLS]
+        gnew = jnp.concatenate(
+            [dmx, dmy, dconA, dconB, dconC, dcol, m00,
+             jnp.zeros((COLS - RECORD, KB), jnp.float32)],
+            axis=0,
+        )  # [COLS, KB] — rows land in place, no transpose needed
         lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
-        gnew = _transpose_matmul(gvals, COLS)  # [COLS, KB]
         # boundary chunk: lanes < lo belong to the PREVIOUS tile, whose last
         # chunk IS this KB-aligned chunk (lo > 0 implies the previous
         # non-empty tile ended inside it). The sequential grid lets its
         # merged values ride along in the tailbuf scratch — a VMEM copy
-        # instead of the former HBM read-modify-write round trip.
+        # instead of an HBM read-modify-write round trip.
         merged = jnp.where(lane < lo, tailbuf[:], gnew)
 
         # lazy double-buffered write-back: reclaim a gbuf slot only when the
@@ -420,17 +472,16 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         @pl.when(ci == n_chunks - 1)
         def _():
             tailbuf[:] = merged
-            tail_base[0] = base + ci * KB
 
-        return T, done, acc
+        return LT, done, acc
 
-    T0 = jnp.ones((1, NPIX), jnp.float32)
-    D0 = jnp.zeros((1, NPIX), jnp.float32)
-    acc0 = jnp.zeros((1, NPIX), jnp.float32)
+    LT0 = jnp.zeros((NPIX, 1), jnp.float32)
+    D0 = jnp.zeros((NPIX, 1), jnp.float32)
+    acc0 = jnp.zeros((NPIX, 1), jnp.float32)
     jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (T0, D0, acc0)),
+        (0, (LT0, D0, acc0)),
     )
     # drain outstanding gradient writes before the next instance reads its
     # boundary chunk
@@ -513,7 +564,6 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
                 pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf (stream+prefetch)
                 pltpu.VMEM((2, COLS, KB), jnp.float32),  # gbuf (lazy writes)
                 pltpu.VMEM((COLS, KB), jnp.float32),  # tailbuf (boundary carry)
-                pltpu.SMEM((1,), jnp.int32),  # tail_base
                 pltpu.SemaphoreType.DMA((4,)),  # sem (reads)
                 pltpu.SemaphoreType.DMA((2,)),  # gsem (writes)
             ],
