@@ -144,24 +144,42 @@ def init_params(key: jax.Array, net: str = "vgg") -> Dict:
 
 
 def convert_torch_lpips(vgg_state_dict, lin_state_dict, net: str = "vgg") -> Dict:
-    """Convert torchvision VGG16 ``features`` weights + LPIPS linear weights."""
+    """Convert torchvision VGG16/AlexNet conv weights + LPIPS linear weights.
+
+    Accepts either the bare ``.features`` sub-dict (keys ``N.weight``) or a
+    FULL torchvision checkpoint (keys ``features.N.weight`` +
+    ``classifier.*`` — the classifier is ignored; only 4-dim conv weights in
+    layer order are taken). ``lin_state_dict`` uses the richzhang naming
+    ``lin{i}.model.1.weight`` (/root/reference/lpipsPyTorch/modules/utils.py
+    downloads that file; its renamed in-memory form ``{i}.1.weight`` is also
+    accepted)."""
 
     def arr(t):
         return jnp.asarray(t.detach().cpu().numpy() if hasattr(t, "detach") else t)
 
+    def layer_index(key: str) -> int:
+        for part in key.split("."):
+            if part.isdigit():
+                return int(part)
+        raise ValueError(f"no layer index in key {key!r}")
+
+    conv_keys = [
+        k for k in vgg_state_dict
+        if k.endswith("weight") and arr(vgg_state_dict[k]).ndim == 4
+        and (k.startswith("features.") or "." not in k.rsplit(".weight", 1)[0])
+    ]
     params = {}
-    conv_i = 0
-    for k in sorted(vgg_state_dict.keys(), key=lambda s: int(s.split(".")[1] if s.startswith("features") else s.split(".")[0])):
-        if k.endswith("weight") and arr(vgg_state_dict[k]).ndim == 4:
-            params[f"conv{conv_i}.w"] = arr(vgg_state_dict[k])
-            bias_key = k.replace("weight", "bias")
-            params[f"conv{conv_i}.b"] = arr(vgg_state_dict[bias_key])
-            conv_i += 1
+    for conv_i, k in enumerate(sorted(conv_keys, key=layer_index)):
+        params[f"conv{conv_i}.w"] = arr(vgg_state_dict[k])
+        params[f"conv{conv_i}.b"] = arr(vgg_state_dict[k.replace("weight", "bias")])
     for i in range(5):
-        for name in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight"):
+        for name in (f"lin{i}.model.1.weight", f"lins.{i}.model.1.weight",
+                     f"{i}.1.weight"):
             if name in lin_state_dict:
                 params[f"lin{i}.w"] = arr(lin_state_dict[name]).reshape(-1)
                 break
+        else:
+            raise KeyError(f"LPIPS linear weight for stage {i} not found")
     return params
 
 
