@@ -189,11 +189,22 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
     bytes_moved = (PT.COLS * n_real * 4  # record rows streamed once
                    + nx * ny * 4 * 256 * 4)  # color+trans tiles written
     gbps = bytes_moved / (ms * 1e-3) / 1e9
+
+    color, trans = jax.block_until_ready(fwd(rec_t, starts, counts))
+    bwd = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
+    ms_bwd = timeit(bwd, rec_t, starts, counts, color, trans, n=30, warmup=3)
+    bwd_bytes = (2 * PT.COLS * n_real * 4  # records read + dpairs written
+                 + nx * ny * 8 * 256 * 4)  # color/trans/dcolor/dtrans tiles
+    gbps_bwd = bwd_bytes / (ms_bwd * 1e-3) / 1e9
     return {
         "ms": round(ms, 3),
+        "bwd_ms": round(ms_bwd, 3),
         "real_pairs": n_real,
         "gbps": round(gbps, 1),
+        "bwd_gbps": round(gbps_bwd, 1),
         "hbm_util": round(gbps / V5E_HBM_GBPS, 3),
+        "bwd_hbm_util": round(gbps_bwd / V5E_HBM_GBPS, 3),
     }
 
 
@@ -223,8 +234,11 @@ def bench_train_step(P=131072, W=1232, H=816):
     lrs = lr_dict(OptimizationConfig(), 1.0, 1000)
 
     def step(s):
+        # explicitly "pallas", not "auto": a broken Pallas path must FAIL
+        # the bench (surface as gs_train_step_ms: error), never silently
+        # report the 3x slower tiled fallback as the headline
         return train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
-                          sh_degree=3, rasterizer="auto")
+                          sh_degree=3, rasterizer="pallas")
 
     for _ in range(3):
         state, m = step(state)

@@ -457,7 +457,13 @@ class GSTrainer:
             # SAVE BEFORE the densify/opacity-reset block, like the reference
             # (train.py:148-150 precedes :153-179) — otherwise a save
             # iteration that coincides with opacity_reset_interval persists
-            # the freshly reset (near-transparent) opacities
+            # the freshly reset (near-transparent) opacities.
+            # Known parity delta: the reference saves before optimizer.step()
+            # (train.py:182-184) while the jitted train_step fuses the Adam
+            # update, so PLYs at save_iterations carry a ONE-iteration
+            # parameter offset vs the reference artifact (immaterial to
+            # metrics; bit-level artifact parity would need a pre-update
+            # param snapshot plumbed out of train_step)
             if it in save_iterations and model_path:
                 path = os.path.join(
                     model_path, "point_cloud", f"iteration_{it}", "point_cloud.ply"

@@ -129,11 +129,16 @@ def main():
 
     if want("pglue"):
         # fine-grained breakdown of the pallas glue (everything around the
-        # compositing kernels)
+        # compositing kernels) for the COMPACT-GATHER pipeline: ONE
+        # payload-free fused-key sort + one row gather forward; one
+        # gidx-keyed payload sort + cumsum-diff backward.
         from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
-        from sixdgs_tpu.ops.rasterizer.tiles import _make_pair_keys, _permute
+        from sixdgs_tpu.ops.rasterizer.tiles import _fused_pair_keys, _permute
 
         visible = proj.radii > 0
+        t_max, t_max_mid, t_max_big = 16, 64, 1024
+        mid_k, overflow_k = 4096, 256
+        n_tiles = nx * ny
 
         @jax.jit
         def stage_depth(proj_means2d, conics, colors, opacities, depths, radii):
@@ -150,34 +155,53 @@ def main():
             proj.depths, proj.radii))
         print(f"pglue depth-sort+permute: {timeit(stage_depth, proj.means2d, proj.conics, proj.colors, proj.opacities, proj.depths, proj.radii):8.2f} ms")
 
-        keys_fn = jax.jit(lambda m, r, v: _make_pair_keys(m, r, v, nx, ny, 16, 16))
-        tile_ids, pair_gidx, mid_idx, _, big_idx, _ = jax.block_until_ready(
+        keys_fn = jax.jit(lambda m, r, v: _fused_pair_keys(
+            m, r, v, nx, ny, 16, t_max, overflow_k=overflow_k,
+            t_max_big=t_max_big, mid_k=mid_k, t_max_mid=t_max_mid))
+        key, _, _, counts_g, gbits = jax.block_until_ready(
             keys_fn(rec[:, 0:2], radii_f, vis))
-        print(f"pglue make_pair_keys: {timeit(keys_fn, rec[:, 0:2], radii_f, vis):8.2f} ms")
+        assert key is not None
+        print(f"pglue fused_pair_keys: {timeit(keys_fn, rec[:, 0:2], radii_f, vis):8.2f} ms")
 
-        exp_fn = jax.jit(
-            lambda r, m, b: PT._expand_presort_planes(r, m, b, 16, 64, 1024))
-        planes = jax.block_until_ready(exp_fn(rec, mid_idx, big_idx))
-        print(f"pglue expand_planes: {timeit(exp_fn, rec, mid_idx, big_idx):8.2f} ms")
-
-        sort_fn = jax.jit(lambda t, g, p: PT._sort_planes(t, g, p, nx * ny,
-                                                          args.P))
-        st, sp, po = jax.block_until_ready(sort_fn(tile_ids, pair_gidx, planes))
-        print(f"pglue 2-key payload sort: {timeit(sort_fn, tile_ids, pair_gidx, planes):8.2f} ms")
+        n_slots = args.P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
+        n_slots_pad = -(-n_slots // PT.KB) * PT.KB
+        nc = min(-(-PT.DEFAULT_NC // PT.KB) * PT.KB, n_slots_pad)
 
         @jax.jit
-        def stage_layout(st, sp):
-            starts = jnp.searchsorted(
-                st, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)
-            n_pairs = st.shape[0]
-            recs = jnp.concatenate(
-                [jnp.stack(sp, axis=0),
-                 jnp.zeros((PT.COLS - 9, n_pairs), jnp.float32)], axis=0)
-            return starts, recs
+        def stage_sort(key):
+            pad = n_slots_pad - n_slots
+            if pad:
+                sentinel = jnp.uint32(n_tiles) << gbits
+                key = jnp.concatenate([key, jnp.full(pad, sentinel, jnp.uint32)])
+            skey = jax.lax.sort((key,), num_keys=1)[0][:nc]
+            gidx_c = jax.lax.bitwise_and(
+                skey, jnp.uint32((1 << gbits) - 1)).astype(jnp.int32)
+            tiles_c = jax.lax.shift_right_logical(
+                skey, jnp.uint32(gbits)).astype(jnp.int32)
+            return gidx_c, tiles_c
 
-        starts, recs = jax.block_until_ready(stage_layout(st, sp))
-        counts = starts[1:] - starts[:-1]
-        print(f"pglue searchsorted+stack: {timeit(stage_layout, st, sp):8.2f} ms")
+        gidx_c, tiles_c = jax.block_until_ready(stage_sort(key))
+        print(f"pglue key sort+unpack ({n_slots_pad} slots): {timeit(stage_sort, key):8.2f} ms")
+
+        @jax.jit
+        def stage_layout(tiles_c, counts_g):
+            starts = jnp.searchsorted(
+                tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+            ).astype(jnp.int32)
+            return starts, starts[1:] - starts[:-1], jnp.cumsum(counts_g).astype(jnp.int32)
+
+        starts, counts, ends_g = jax.block_until_ready(
+            stage_layout(tiles_c, counts_g))
+        print(f"pglue searchsorted+cumsum: {timeit(stage_layout, tiles_c, counts_g):8.2f} ms")
+
+        @jax.jit
+        def stage_gather(rec, gidx_c):
+            recs_c = rec[gidx_c].T
+            return jnp.concatenate(
+                [recs_c, jnp.zeros((PT.COLS - 9, nc), jnp.float32)], axis=0)
+
+        recs = jax.block_until_ready(stage_gather(rec, gidx_c))
+        print(f"pglue compact row gather: {timeit(stage_gather, rec, gidx_c):8.2f} ms")
 
         kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
         print(f"pglue fwd kernel: {timeit(kf, recs, starts, counts):8.2f} ms")
@@ -187,9 +211,22 @@ def main():
             r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
         print(f"pglue bwd kernel: {timeit(kb, recs, starts, counts, color, trans):8.2f} ms")
 
-        bsort_fn = jax.jit(
-            lambda po, dp: jax.lax.sort((po,) + tuple(dp), num_keys=1))
-        print(f"pglue bwd payload sort: {timeit(bsort_fn, po, sp):8.2f} ms")
+        dpairs = jax.block_until_ready(kb(recs, starts, counts, color, trans))
+
+        @jax.jit
+        def stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real):
+            rows = jnp.arange(nc, dtype=jnp.int32)
+            gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(args.P))
+            out = jax.lax.sort(
+                (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
+            cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)
+            cum0 = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
+            return cum0[jnp.minimum(ends_g, nc)] - cum0[
+                jnp.minimum(ends_g - counts_g, nc)]
+
+        v_real = starts[n_tiles]
+        jax.block_until_ready(stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real))
+        print(f"pglue bwd gidx payload sort+route: {timeit(stage_bwd_route, dpairs, gidx_c, ends_g, counts_g, v_real):8.2f} ms")
 
     from sixdgs_tpu.train.gs_trainer import _render_params
 
