@@ -103,12 +103,13 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
         sh=sh, sh_degree=sh_degree, active=active,
     )
     proj = proj._replace(means2d=proj.means2d + means2d_offset)
-    if rasterizer == "pallas":
+    if rasterizer in ("pallas", "pallas_interpret"):
         from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
 
         img = rasterize_pallas(proj, width, height, bg, t_max=t_max,
                                mid_k=mid_k, t_max_mid=t_max_mid,
-                               overflow_k=overflow_k, t_max_big=t_max_big)
+                               overflow_k=overflow_k, t_max_big=t_max_big,
+                               interpret=(rasterizer == "pallas_interpret"))
     elif rasterizer == "tiled":
         from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
 
@@ -177,7 +178,8 @@ def train_step(
                                                      jnp.clip(cam.gt_image, 0, 1))}
     from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
 
-    if resolve_rasterizer(rasterizer) in ("tiled", "pallas"):
+    if resolve_rasterizer(rasterizer) in ("tiled", "pallas",
+                                          "pallas_interpret"):
         # static-cap truncation telemetry: the CUDA reference's binning is
         # uncapped, so surface any coverage the two-tier budgets dropped
         from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
