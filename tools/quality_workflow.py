@@ -44,9 +44,12 @@ def sphere_positions(n, radius, seed, z_band=(0.05, 0.75)):
     return np.stack([r_xy * np.cos(ang), h * radius, r_xy * np.sin(ang)], axis=1)
 
 
-def write_dataset(root, n_train, n_test, size, radius, seed=0):
+def write_dataset(root, n_train, n_test, size, radius, seed=0, width=None,
+                  height=None):
     from PIL import Image
 
+    width = width or size
+    height = height or size
     frames_by_split = {}
     for split, n, s in [("train", n_train, seed), ("test", n_test, seed + 1)]:
         os.makedirs(os.path.join(root, split), exist_ok=True)
@@ -57,7 +60,7 @@ def write_dataset(root, n_train, n_test, size, radius, seed=0):
                 "transform_matrix": look_at_c2w_opengl(pos).tolist(),
             })
             Image.fromarray(
-                np.zeros((size, size, 3), np.uint8)
+                np.zeros((height, width, 3), np.uint8)
             ).save(os.path.join(root, split, f"r_{i}.png"))
         with open(os.path.join(root, f"transforms_{split}.json"), "w") as fh:
             json.dump({"camera_angle_x": 0.8, "frames": frames}, fh)
@@ -89,6 +92,13 @@ def main(argv=None):
     ap.add_argument("--n_train", type=int, default=28)
     ap.add_argument("--n_test", type=int, default=6)
     ap.add_argument("--n_gt", type=int, default=3000)
+    ap.add_argument("--width", type=int, default=0,
+                    help="image width (default: --size)")
+    ap.add_argument("--height", type=int, default=0,
+                    help="image height (default: --size)")
+    ap.add_argument("--n_init", type=int, default=0,
+                    help="init cloud size (default: n_gt noisy GT means); "
+                    "smaller values exercise the densification growth path")
     ap.add_argument("--radius", type=float, default=3.2)
     ap.add_argument("--rasterizer", default="auto")
     ap.add_argument("--chunk", type=int, default=256)
@@ -112,12 +122,16 @@ def main(argv=None):
         shutil.rmtree(args.workdir)
     os.makedirs(root, exist_ok=True)
 
-    write_dataset(root, args.n_train, args.n_test, args.size, args.radius)
+    write_dataset(root, args.n_train, args.n_test, args.size, args.radius,
+                  width=args.width or None, height=args.height or None)
     gt, gt_arrs = gt_scene(args.n_gt)
 
-    # init cloud: noisy GT means (the reference seeds from SfM points)
+    # init cloud: noisy GT means (the reference seeds from SfM points); with
+    # --n_init a SPARSE subset so the densify schedule must grow the model
     rng = np.random.default_rng(11)
     pts = gt_arrs["xyz"] + rng.normal(scale=0.05, size=gt_arrs["xyz"].shape)
+    if args.n_init and args.n_init < pts.shape[0]:
+        pts = pts[rng.choice(pts.shape[0], args.n_init, replace=False)]
     store_point_cloud_ply(
         os.path.join(root, "points3d.ply"), pts,
         rng.uniform(80, 180, size=pts.shape))
@@ -139,10 +153,14 @@ def main(argv=None):
         Image.fromarray(
             (img.transpose(1, 2, 0) * 255).round().astype(np.uint8)
         ).save(ci.image_path)
+    W = args.width or args.size
+    H = args.height or args.size
     print(f"GT: {args.n_gt} gaussians, "
           f"{len(info.train_cameras)}+{len(info.test_cameras)} views "
-          f"{args.size}x{args.size}")
+          f"{W}x{H}, init cloud {pts.shape[0]}")
 
+    import time as _time
+    t_train0 = _time.time()
     train_gs.main([
         "--source_path", root,
         "--model_path", model_path,
@@ -154,6 +172,7 @@ def main(argv=None):
         "--chunk", str(args.chunk),
         "--quiet",
     ])
+    train_wall_s = _time.time() - t_train0
     render_app.main(["--model_path", model_path,
                      "--iteration", str(args.iterations),
                      "--chunk", str(args.chunk)])
@@ -169,7 +188,18 @@ def main(argv=None):
         "ssim": round(results[key]["SSIM"], 4),
         "iterations": args.iterations,
         "rasterizer": args.rasterizer,
+        "train_wall_s": round(train_wall_s, 1),
+        "init_points": int(pts.shape[0]),
     }
+    # final active gaussian count from the saved PLY
+    try:
+        from sixdgs_tpu.scene.ply_io import load_gaussian_ply
+        ply = load_gaussian_ply(os.path.join(
+            model_path, "point_cloud", f"iteration_{args.iterations}",
+            "point_cloud.ply"), sh_degree=3)
+        out["final_gaussians"] = int(np.asarray(ply["xyz"]).shape[0])
+    except Exception:
+        pass
     print(json.dumps(out))
     return out
 
