@@ -11,6 +11,7 @@ attention kernel, achieved HBM GB/s vs peak for the compositing kernels) and
 the 3DGS train-step time at Mip-360 scale.
 """
 
+import functools
 import json
 import time
 
@@ -94,9 +95,10 @@ def bench_pose(n_rays=32768, fused_only=False):
 
 
 def bench_attention_kernel(id_params, rays, n_patches=256, d=384):
-    """Fused attention-score kernel roofline: FLOPs are dominated by the
-    k-projection (2*N*d^2, twice: two streaming passes) and the QK^T logits
-    (2*P*N*d, twice). f32 on the MXU."""
+    """Fused attention-score kernel roofline per MXU precision mode: nominal
+    FLOPs are the k-projection (2*N*d^2, twice: two streaming passes) and
+    the QK^T logits (2*P*N*d, twice); bf16_split3 issues 3 bf16 passes per
+    nominal matmul, plain bf16 one."""
     from sixdgs_tpu.ops.attention_kernel import attention_scores_fused
 
     rng = np.random.default_rng(3)
@@ -106,20 +108,22 @@ def bench_attention_kernel(id_params, rays, n_patches=256, d=384):
     att = id_params["attention"]
     pmask = jnp.ones(n_patches, bool)
     valid = rays.valid
-
-    def run():
-        return attention_scores_fused(q, feats, att["k"]["w"], att["k"]["b"],
-                                      pmask, valid)
-
-    ms = timeit(run)
     flops = 2 * (2 * n_rays * d * d + 2 * n_patches * n_rays * d)
-    tflops = flops / (ms * 1e-3) / 1e12
-    return {
-        "ms": round(ms, 3),
-        "tflops": round(tflops, 2),
-        "mfu_f32": round(tflops * 1e12 / V5E_PEAK_F32_FLOPS, 3),
-        "mfu_bf16_peak": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 3),
-    }
+
+    out = {}
+    for mode in ("f32", "bf16_split3", "bf16"):
+        ms = timeit(functools.partial(
+            attention_scores_fused, q, feats, att["k"]["w"], att["k"]["b"],
+            pmask, valid, mode=mode))
+        tflops = flops / (ms * 1e-3) / 1e12
+        out[mode] = {
+            "ms": round(ms, 3),
+            "tflops": round(tflops, 2),
+            "mfu_f32": round(tflops * 1e12 / V5E_PEAK_F32_FLOPS, 3),
+            "mfu_bf16_peak": round(tflops * 1e12 / V5E_PEAK_BF16_FLOPS, 3),
+        }
+    # headline fields = the default mode (bf16_split3)
+    return {**out["bf16_split3"], "modes": out}
 
 
 def bench_compositing_kernel(P=131072, W=1232, H=816):

@@ -15,8 +15,20 @@ and the output is per-ray column sums): pass 0 accumulates per-patch
 masked column sums. HBM traffic is ray_feats twice + O(N) outputs — the
 [256 x N] logits never hit HBM.
 
-Used on the inference path (pose eval / bench); training uses the jnp
-formulation (same math) for autodiff.
+DIFFERENTIABLE: ``attention_scores_fused`` carries a custom VJP whose
+backward is a second streaming kernel (pass 0 accumulates the per-patch
+softmax-jacobian row sums c_p = sum_j P_pj g_j; pass 1 recomputes each
+probs block and emits dfeats while accumulating dq/dWk/dbk in VMEM), so
+training at Mip-360 ray counts never materializes the [256 x N] logits
+either. Forward stats (m, s) are saved as [P, 1] residuals.
+
+MXU precision modes (``mode``):
+  * "f32"         — plain f32 matmuls (v5e MXU runs f32 at ~1/4 bf16 rate),
+  * "bf16"        — operands cast to bf16, f32 accumulate (fastest; logit
+                    abs error ~0.4% of magnitude),
+  * "bf16_split3" — 3-pass hi/lo bf16 split (hi*hi + hi*lo + lo*hi,
+                    ~2^-32 relative: f32-class accuracy at ~3/4 the f32
+                    cost). DEFAULT.
 """
 
 from __future__ import annotations
@@ -32,8 +44,36 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -9e15
 
 
-def _kernel(q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref, out_ref,
-            m_scr, s_scr):
+def _split_bf16(x):
+    hi = x.astype(jnp.bfloat16)
+    lo = (x - hi.astype(jnp.float32)).astype(jnp.bfloat16)
+    return hi, lo
+
+
+def _dot(a, b, mode, dn=(((1,), (0,)), ((), ()))):
+    """a @ b with f32 accumulation under the selected MXU mode."""
+    f32 = jnp.float32
+    if mode == "f32":
+        # HIGHEST: TPU DEFAULT-precision f32 dots execute as one bf16 pass
+        return jax.lax.dot_general(a, b, dn, preferred_element_type=f32,
+                                   precision=jax.lax.Precision.HIGHEST)
+    if mode == "bf16":
+        return jax.lax.dot_general(
+            a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), dn,
+            preferred_element_type=f32)
+    a_hi, a_lo = _split_bf16(a)
+    b_hi, b_lo = _split_bf16(b)
+    return (jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
+            + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
+
+
+_DN_TN = (((0,), (0,)), ((), ()))  # a^T @ b
+_DN_NT = (((1,), (1,)), ((), ()))  # a @ b^T
+
+
+def _fwd_kernel(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref,
+                out_ref, m_ref, s_ref, m_scr, s_scr):
     p = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -42,12 +82,9 @@ def _kernel(q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref, out_ref,
         m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
         s_scr[:] = jnp.zeros_like(s_scr)
 
-    k = (
-        jnp.dot(feats_ref[:], wk_ref[:], preferred_element_type=jnp.float32)
-        + bk_ref[:]
-    )  # [B, d]
+    k = _dot(feats_ref[:], wk_ref[:], mode) + bk_ref[:]  # [B, d]
     d = q_ref.shape[-1]
-    logits = jnp.dot(q_ref[:], k.T, preferred_element_type=jnp.float32) / math.sqrt(d)
+    logits = _dot(q_ref[:], k, mode, _DN_NT) / math.sqrt(d)
     logits = jnp.where(valid_ref[:] > 0.0, logits, NEG)  # [P, B]
 
     @pl.when(p == 0)
@@ -64,43 +101,63 @@ def _kernel(q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref, out_ref,
     @pl.when(p == 1)
     def _():
         probs = jnp.exp(logits - m_scr[:]) / s_scr[:]  # [P, B]
-        out_ref[:] = jnp.sum(probs * pmask_ref[:], axis=0, keepdims=True)  # [1, B]
+        out_ref[:] = jnp.sum(probs * pmask_ref[:], axis=0, keepdims=True)
+
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _():
+            m_ref[:] = m_scr[:]
+            s_ref[:] = s_scr[:]
 
 
-@functools.partial(jax.jit, static_argnames=("block", "interpret"))
-def attention_scores_fused(
-    q: jnp.ndarray,
-    ray_feats: jnp.ndarray,
-    wk: jnp.ndarray,
-    bk: jnp.ndarray,
-    patch_mask: jnp.ndarray,
-    ray_valid: jnp.ndarray,
-    block: int = 2048,
-    interpret: bool = False,
-) -> jnp.ndarray:
-    """Per-ray scores.
+def _bwd_kernel(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref,
+                m_ref, s_ref, g_ref, dfeats_ref, dq_ref, dwk_ref, dbk_ref,
+                c_scr, dq_scr, dwk_scr, dbk_scr):
+    p = pl.program_id(0)
+    b = pl.program_id(1)
 
-    Args:
-        q: [P, d] projected image-patch queries (P multiple of 8).
-        ray_feats: [N, d] ray features (N multiple of ``block``).
-        wk/bk: k-projection weights [d, d], [d].
-        patch_mask: [P] bool/float mask of image patches.
-        ray_valid: [N] bool/float validity of rays.
-        block: rays per kernel step.
-        interpret: run in interpreter mode (CPU tests).
+    @pl.when((p == 0) & (b == 0))
+    def _():
+        c_scr[:] = jnp.zeros_like(c_scr)
+        dq_scr[:] = jnp.zeros_like(dq_scr)
+        dwk_scr[:] = jnp.zeros_like(dwk_scr)
+        dbk_scr[:] = jnp.zeros_like(dbk_scr)
 
-    Returns:
-        [N] scores; padded rays get ~0.
-    """
+    k = _dot(feats_ref[:], wk_ref[:], mode) + bk_ref[:]  # [B, d]
+    d = q_ref.shape[-1]
+    logits = _dot(q_ref[:], k, mode, _DN_NT) / math.sqrt(d)
+    logits = jnp.where(valid_ref[:] > 0.0, logits, NEG)
+    probs = jnp.exp(logits - m_ref[:]) / s_ref[:]  # [P, B]
+    g = g_ref[:]  # [1, B] upstream score cotangents
+
+    @pl.when(p == 0)
+    def _():
+        # c_p = sum_j P_pj g_j (full-row sum, accumulated over blocks)
+        c_scr[:] = c_scr[:] + jnp.sum(probs * g, axis=1, keepdims=True)
+        dfeats_ref[:] = jnp.zeros_like(dfeats_ref)
+
+    @pl.when(p == 1)
+    def _():
+        # softmax-jacobian: dlogits_pj = pmask_p P_pj (g_j - c_p) / sqrt(d)
+        dlog = pmask_ref[:] * probs * (g - c_scr[:]) * (1.0 / math.sqrt(d))
+        dk = _dot(dlog, q_ref[:], mode, _DN_TN)  # [B, d]
+        dfeats_ref[:] = _dot(dk, wk_ref[:], mode, _DN_NT)  # [B, d]
+        dq_scr[:] = dq_scr[:] + _dot(dlog, k, mode)  # [P, d]
+        dwk_scr[:] = dwk_scr[:] + _dot(feats_ref[:], dk, mode, _DN_TN)
+        dbk_scr[:] = dbk_scr[:] + jnp.sum(dk, axis=0, keepdims=True)
+
+        @pl.when(b == pl.num_programs(1) - 1)
+        def _():
+            dq_ref[:] = dq_scr[:]
+            dwk_ref[:] = dwk_scr[:]
+            dbk_ref[:] = dbk_scr[:]
+
+
+def _fused_fwd_call(q, ray_feats, wk, bk, pmask, valid, block, interpret, mode):
     P, d = q.shape
     N = ray_feats.shape[0]
-    assert N % block == 0, (N, block)
     nb = N // block
-    pmask = patch_mask.astype(jnp.float32).reshape(P, 1)
-    valid = ray_valid.astype(jnp.float32).reshape(1, N)
-
-    out = pl.pallas_call(
-        _kernel,
+    out, m, s = pl.pallas_call(
+        functools.partial(_fwd_kernel, mode),
         grid=(2, nb),
         in_specs=[
             pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
@@ -110,25 +167,138 @@ def attention_scores_fused(
             pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((1, N), jnp.float32),
+        out_specs=(
+            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ),
         scratch_shapes=[
             pltpu.VMEM((P, 1), jnp.float32),
             pltpu.VMEM((P, 1), jnp.float32),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q.astype(jnp.float32), ray_feats.astype(jnp.float32),
-      wk.astype(jnp.float32), bk.astype(jnp.float32), pmask, valid)
+    )(q, ray_feats, wk, bk, pmask, valid)
+    return out, m, s
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+def _fused_scores(q, ray_feats, wk, bk, pmask, valid, block, interpret, mode):
+    out, _, _ = _fused_fwd_call(q, ray_feats, wk, bk, pmask, valid, block,
+                                interpret, mode)
     return out[0]
 
 
+def _fused_scores_fwd(q, ray_feats, wk, bk, pmask, valid, block, interpret,
+                      mode):
+    out, m, s = _fused_fwd_call(q, ray_feats, wk, bk, pmask, valid, block,
+                                interpret, mode)
+    return out[0], (q, ray_feats, wk, bk, pmask, valid, m, s)
+
+
+def _fused_scores_bwd(block, interpret, mode, res, g):
+    q, ray_feats, wk, bk, pmask, valid, m, s = res
+    P, d = q.shape
+    N = ray_feats.shape[0]
+    nb = N // block
+    g2 = g.reshape(1, N).astype(jnp.float32)
+    dfeats, dq, dwk, dbk = pl.pallas_call(
+        functools.partial(_bwd_kernel, mode),
+        grid=(2, nb),
+        in_specs=[
+            pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda p, b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, d), jnp.float32),
+            jax.ShapeDtypeStruct((P, d), jnp.float32),
+            jax.ShapeDtypeStruct((d, d), jnp.float32),
+            jax.ShapeDtypeStruct((1, d), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, d), jnp.float32),
+            pltpu.VMEM((d, d), jnp.float32),
+            pltpu.VMEM((1, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, ray_feats, wk, bk, pmask, valid, m, s, g2)
+    # pmask/valid are data masks, not differentiable inputs
+    return dq, dfeats, dwk, dbk[0], None, None
+
+
+_fused_scores.defvjp(_fused_scores_fwd, _fused_scores_bwd)
+
+
+@functools.partial(jax.jit, static_argnames=("block", "interpret", "mode"))
+def attention_scores_fused(
+    q: jnp.ndarray,
+    ray_feats: jnp.ndarray,
+    wk: jnp.ndarray,
+    bk: jnp.ndarray,
+    patch_mask: jnp.ndarray,
+    ray_valid: jnp.ndarray,
+    block: int = 2048,
+    interpret: bool = False,
+    mode: str = "bf16_split3",
+) -> jnp.ndarray:
+    """Per-ray scores (differentiable — custom VJP streaming backward).
+
+    Args:
+        q: [P, d] projected image-patch queries (P multiple of 8).
+        ray_feats: [N, d] ray features (N multiple of ``block``).
+        wk/bk: k-projection weights [d, d], [d].
+        patch_mask: [P] bool/float mask of image patches.
+        ray_valid: [N] bool/float validity of rays.
+        block: rays per kernel step.
+        interpret: run in interpreter mode (CPU tests).
+        mode: MXU precision — "f32" | "bf16" | "bf16_split3" (default).
+
+    Returns:
+        [N] scores; padded rays get ~0.
+    """
+    P, d = q.shape
+    N = ray_feats.shape[0]
+    assert N % block == 0, (N, block)
+    pmask = patch_mask.astype(jnp.float32).reshape(P, 1)
+    valid = ray_valid.astype(jnp.float32).reshape(1, N)
+    return _fused_scores(
+        q.astype(jnp.float32), ray_feats.astype(jnp.float32),
+        wk.astype(jnp.float32), bk.astype(jnp.float32), pmask, valid,
+        block, interpret, mode,
+    )
+
+
 def fused_ray_scores(id_params, img_feats_pe, ray_feats, patch_mask, ray_valid,
-                     block: int = 2048, interpret: bool = False) -> jnp.ndarray:
+                     block: int = 2048, interpret: bool = False,
+                     mode: str = "bf16_split3") -> jnp.ndarray:
     """Drop-in for the jnp scorer in id_module.score_image: applies the
-    q-projection then the fused kernel."""
+    q-projection then the fused kernel (q-projection gradients chain through
+    the kernel's dq)."""
     att = id_params["attention"]
     q = img_feats_pe @ att["q"]["w"] + att["q"]["b"]
     return attention_scores_fused(
         q, ray_feats, att["k"]["w"], att["k"]["b"], patch_mask, ray_valid,
-        block=block, interpret=interpret,
+        block=block, interpret=interpret, mode=mode,
     )

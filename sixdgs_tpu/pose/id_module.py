@@ -40,8 +40,9 @@ def score_image(dino_params, id_params, img, mask, rays: Rays,
         img: [H, W, 3] float in [0, 1].
         mask: [H, W] foreground mask.
         rays: Rays pytree (padded; rays.valid excludes padding).
-        fused_attention: use the Pallas streaming kernel (inference path;
-            the [256 x N_rays] attention matrix never touches HBM).
+        fused_attention: use the Pallas streaming kernel — the [256 x N_rays]
+            attention matrix never touches HBM; differentiable (custom-VJP
+            streaming backward), so it also serves large-ray-count training.
     """
     feats_pe, patch_mask, fmap = backbone_features(dino_params, img, mask)
     ray_feats = ray_mlp_apply(id_params["ray_mlp"], rays.ori, rays.dir, rays.rgb)

