@@ -95,9 +95,18 @@ class TestLPIPS:
         torch = pytest.importorskip("torch")
         if "torchvision" not in sys.modules:
             # networks.py imports torchvision at module top purely for the
-            # pretrained ctors we never call; satisfy the import with a stub
+            # pretrained ctors we never call; satisfy the import with a stub.
+            # The stub needs a real ModuleSpec: transformers (imported by a
+            # LATER test in the session) probes torchvision via
+            # importlib.util.find_spec, which raises on __spec__ = None
+            import importlib.machinery
+
             tv = types.ModuleType("torchvision")
+            tv.__spec__ = importlib.machinery.ModuleSpec("torchvision", None)
+            tv.__version__ = "0.0.0-stub"
             tv.models = types.ModuleType("torchvision.models")
+            tv.models.__spec__ = importlib.machinery.ModuleSpec(
+                "torchvision.models", None)
             sys.modules["torchvision"] = tv
             sys.modules["torchvision.models"] = tv.models
         if "/root/reference" not in sys.path:
