@@ -677,7 +677,12 @@ def rasterize_pallas(
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
-    inv_gorder = jnp.argsort(order)
+    # inverse permutation as a disjoint scatter of iota (cheaper than a
+    # second argsort: no key compare passes, one sequential write sweep)
+    P_all = order.shape[0]
+    iota = jnp.arange(P_all, dtype=order.dtype)
+    inv_gorder = jnp.zeros(P_all, order.dtype).at[order].set(
+        iota, unique_indices=True, indices_are_sorted=False)
     opac_all = jnp.where(visible, proj.opacities, 0.0)
     P = proj.means2d.shape[0]
     overflow_k = min(overflow_k, P)

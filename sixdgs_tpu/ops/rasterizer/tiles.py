@@ -475,7 +475,10 @@ def rasterize_tiled(
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
-    inv_gorder = jnp.argsort(order)
+    # inverse permutation via disjoint iota scatter (no second sort)
+    _iota = jnp.arange(order.shape[0], dtype=order.dtype)
+    inv_gorder = jnp.zeros(order.shape[0], order.dtype).at[order].set(
+        _iota, unique_indices=True)
 
     # pack per-gaussian records then depth-permute ONCE (scatter-free VJP)
     opac_all = jnp.where(visible, proj.opacities, 0.0)

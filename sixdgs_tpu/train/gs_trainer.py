@@ -87,7 +87,7 @@ DEFAULT_TIERS = (16, 4096, 64, 256, 1024)
 
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
                    bg, means2d_offset, chunk, rasterizer: str = "scan",
-                   tiers: tuple = DEFAULT_TIERS):
+                   tiers: tuple = DEFAULT_TIERS, nc_pairs: int = 0):
     from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
 
     rasterizer = resolve_rasterizer(rasterizer)
@@ -109,6 +109,7 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
         img = rasterize_pallas(proj, width, height, bg, t_max=t_max,
                                mid_k=mid_k, t_max_mid=t_max_mid,
                                overflow_k=overflow_k, t_max_big=t_max_big,
+                               nc_pairs=nc_pairs,
                                interpret=(rasterizer == "pallas_interpret"))
     elif rasterizer == "tiled":
         from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
@@ -124,7 +125,7 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
 @functools.partial(
     jax.jit,
     static_argnames=("width", "height", "sh_degree", "chunk", "lambda_dssim",
-                     "rasterizer", "tiers"),
+                     "rasterizer", "tiers", "nc_pairs"),
     donate_argnames=("state",),
 )
 def train_step(
@@ -140,6 +141,7 @@ def train_step(
     lambda_dssim: float = 0.2,
     rasterizer: str = "scan",
     tiers: tuple = DEFAULT_TIERS,
+    nc_pairs: int = 0,
 ):
     """One training iteration (render + loss + backward + Adam + densify stats)."""
     active = state.scene.active
@@ -149,7 +151,7 @@ def train_step(
     def loss_fn(params, means2d_offset):
         img, proj = _render_params(
             params, active, cam, width, height, sh_degree, bg, means2d_offset,
-            chunk, rasterizer, tiers,
+            chunk, rasterizer, tiers, nc_pairs,
         )
         loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
         return loss, (ll1, proj.radii, img,
@@ -402,6 +404,7 @@ class GSTrainer:
             adapt_tiers_every: int = 500, adapt_drop_threshold: float = 0.01):
         opt = self.opt
         iterations = iterations or opt.iterations
+        nc_pairs = 0  # 0 = rasterizer default; adaptively widened below
         for it in range(first_iteration, iterations + 1):
             if pre_step is not None:
                 pre_step(it, self)
@@ -428,9 +431,24 @@ class GSTrainer:
                 lambda_dssim=opt.lambda_dssim,
                 rasterizer=rasterizer,
                 tiers=tiers,
+                nc_pairs=nc_pairs,
             )
             if callback is not None and (it % log_every == 0 or it == iterations):
                 callback(it, jax.device_get(metrics), self)
+            if (adapt_tiers_every and it % adapt_tiers_every == 0
+                    and "binning_real_pairs" in metrics):
+                # compact-pair budget: the sorted-key slice drops the pairs
+                # that sort last (whole bottom-of-image tiles) when real
+                # pairs exceed nc, and the backward drops that step's
+                # gradients — widen BEFORE saturation
+                from sixdgs_tpu.ops.rasterizer.pallas_tiles import DEFAULT_NC
+
+                real = int(jax.device_get(metrics["binning_real_pairs"]))
+                effective = nc_pairs or DEFAULT_NC
+                if real > 0.9 * effective:
+                    nc_pairs = effective * 2
+                    print(f"[{it}] compact pairs {real} > 90% of "
+                          f"{effective}: widening nc_pairs -> {nc_pairs}")
             if (adapt_tiers_every and it % adapt_tiers_every == 0
                     and "binning_total_area" in metrics):
                 # adaptive binning: widen the mid tier when the static caps

@@ -68,7 +68,7 @@ def write_dataset(root, n_train, n_test, size, radius, seed=0, width=None,
     return frames_by_split
 
 
-def gt_scene(n, seed=7):
+def gt_scene(n, seed=7, logscale_shift=0.0):
     from sixdgs_tpu.scene.gaussians import from_arrays
 
     rng = np.random.default_rng(seed)
@@ -77,7 +77,8 @@ def gt_scene(n, seed=7):
         "features_dc": (rng.normal(size=(n, 1, 3)) * 0.8).astype(np.float32),
         "features_rest": (rng.normal(size=(n, 15, 3)) * 0.02).astype(np.float32),
         "opacity": rng.uniform(0.0, 3.0, size=(n, 1)).astype(np.float32),
-        "scaling": rng.uniform(-3.6, -2.2, size=(n, 3)).astype(np.float32),
+        "scaling": (rng.uniform(-3.6, -2.2, size=(n, 3))
+                    + logscale_shift).astype(np.float32),
         "rotation": rng.normal(size=(n, 4)).astype(np.float32),
     }
     cap = 1 << (n - 1).bit_length()
@@ -96,6 +97,10 @@ def main(argv=None):
                     help="image width (default: --size)")
     ap.add_argument("--height", type=int, default=0,
                     help="image height (default: --size)")
+    ap.add_argument("--gt_logscale_shift", type=float, default=0.0,
+                    help="shift GT log-scales (negative = smaller gaussians; "
+                    "use ~ -1.2 at Mip-360 resolutions so screen footprints "
+                    "match real scenes instead of covering dozens of tiles)")
     ap.add_argument("--n_init", type=int, default=0,
                     help="init cloud size (default: n_gt noisy GT means); "
                     "smaller values exercise the densification growth path")
@@ -124,7 +129,7 @@ def main(argv=None):
 
     write_dataset(root, args.n_train, args.n_test, args.size, args.radius,
                   width=args.width or None, height=args.height or None)
-    gt, gt_arrs = gt_scene(args.n_gt)
+    gt, gt_arrs = gt_scene(args.n_gt, logscale_shift=args.gt_logscale_shift)
 
     # init cloud: noisy GT means (the reference seeds from SfM points); with
     # --n_init a SPARSE subset so the densify schedule must grow the model
