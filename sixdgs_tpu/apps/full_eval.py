@@ -64,6 +64,11 @@ def main(argv=None):
                     "--model_path", model_path,
                     "--eval", "--quiet",
                     "--iterations", str(args.iterations),
+                    # save the final iterate whatever --iterations is (the
+                    # reference's fixed 30k run relies on the default save
+                    # points; a custom horizon must still produce the PLY
+                    # the render step loads)
+                    "--save_iterations", str(args.iterations),
                     "--test_iterations", "-1",
                 ]
                 + extra
