@@ -29,6 +29,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from sixdgs_tpu.ops.ssim import dssim_l1_loss, psnr
 from sixdgs_tpu.train.gs_trainer import (
     CameraArrays,
+    DEFAULT_TIERS,
     GSTrainState,
     _render_params,
 )
@@ -65,6 +66,8 @@ def make_sharded_gs_step(
     chunk: int = 256,
     lambda_dssim: float = 0.2,
     rasterizer: str = "tiled",
+    tiers: tuple = DEFAULT_TIERS,
+    nc_pairs: int = 0,
 ):
     """Build the jitted DP train step.
 
@@ -89,6 +92,7 @@ def make_sharded_gs_step(
         return _make_shardmap_gs_step(
             mesh, width=width, height=height, sh_degree=sh_degree,
             chunk=chunk, lambda_dssim=lambda_dssim, rasterizer=resolved,
+            tiers=tiers, nc_pairs=nc_pairs,
         )
     cam_s = camera_batch_sharding(mesh)
     rep = NamedSharding(mesh, P())
@@ -104,7 +108,7 @@ def make_sharded_gs_step(
             def one(cam, z2d):
                 img, proj = _render_params(
                     params, active, cam, width, height, sh_degree, bg, z2d,
-                    chunk, rasterizer,
+                    chunk, rasterizer, tiers,
                 )
                 loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
                 p = psnr(jnp.clip(img, 0, 1), jnp.clip(cam.gt_image, 0, 1))
@@ -154,6 +158,8 @@ def _make_shardmap_gs_step(
     chunk: int,
     lambda_dssim: float,
     rasterizer: str,
+    tiers: tuple = DEFAULT_TIERS,
+    nc_pairs: int = 0,
 ):
     """DP step over the Pallas rasterizer via explicit shard_map.
 
@@ -193,7 +199,7 @@ def _make_shardmap_gs_step(
                     cam, z2d = xz
                     img, proj = _render_params(
                         params, active, cam, width, height, sh_degree, bg,
-                        z2d, chunk, rasterizer,
+                        z2d, chunk, rasterizer, tiers, nc_pairs,
                     )
                     loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
                     p = psnr(jnp.clip(img, 0, 1), jnp.clip(cam.gt_image, 0, 1))
