@@ -227,3 +227,25 @@ class TestAdaptiveTiers:
         out = capsys.readouterr().out
         assert "widening tiers" in out, out
         assert "(1, 4, 4, 2, 4)" in out, out
+
+
+class TestAdaptiveNcPairs:
+    def test_saturated_compact_budget_widens(self, synthetic_dataset, capsys,
+                                             monkeypatch):
+        """When emitted pairs exceed 90% of the compact nc_pairs budget, the
+        trainer must widen it (saturation is otherwise SILENT: the sorted-key
+        slice drops whole tiles and the backward drops the step's
+        gradients)."""
+        from sixdgs_tpu.ops.rasterizer import pallas_tiles
+
+        cams = synthetic_dataset
+        info = make_scene_info(cams)
+        opt_cfg = OptimizationConfig(iterations=4, densify_from_iter=100)
+        trainer = GSTrainer(ModelConfig(), opt_cfg, info, cams, [],
+                            capacity_bucket=256)
+        # starve the default budget so the tiny scene saturates it
+        monkeypatch.setattr(pallas_tiles, "DEFAULT_NC", 128)
+        trainer.run(iterations=4, chunk=64, rasterizer="pallas_interpret",
+                    adapt_tiers_every=2, adapt_drop_threshold=0.9)
+        out = capsys.readouterr().out
+        assert "widening nc_pairs -> 256" in out, out
