@@ -32,17 +32,17 @@ anywhere (a 6-pass HIGHEST-precision MXU transpose per chunk previously cost
 more than the whole compositing scan):
   1. vectorized alpha: [NPIX, KB] from record rows broadcast against the
      pixel columns (pure VPU),
-  2. ONE sublane log-step cumprod of (1-a) gives the plain transmittance;
-     the CUDA stop test Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays
-     true, since every later plain product <= the violating one), so the
-     serial done-latch is cumsum(stop) > 0 — computed as a lower-triangular
-     MXU matmul (exact: 0/1 inputs, f32 accumulate). Before the first stop
-     the plain and serial transmittances coincide, so the contributing
-     weights are w_i = a_i * Texcl_i * contribute_i and the serial carry is
-     T * incP[last contributing] (a masked min, since incP is
-     non-increasing). This removes the second cumprod the previous revision
-     used to replay the serial product — semantically faithful to the
-     sequential replay (same stop ordering; tree-reordered f32 products round
+  2. ONE log-domain lane-prefix scan of log(1-a) — a 2-pass hi/lo-bf16
+     triangular MXU matmul — gives the plain transmittance; the CUDA stop
+     test Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays true, since
+     every later plain product <= the violating one), so the serial
+     done-latch is cumsum(stop) > 0 — one exact 0/1 triangular matmul.
+     Before the first stop the plain and serial transmittances coincide, so
+     the contributing weights are w_i = a_i * Texcl_i * contribute_i and
+     the serial log-carry is the inclusive prefix at the last contributing
+     lane (a masked lane-min of values the scan already produced — the
+     prefix is non-increasing). Semantically faithful to the sequential
+     replay (same stop ordering; tree-reordered f32 products round
      differently, so values within rounding distance of T_EPS can flip the
      stop test),
   3. color application / color gradients as MXU matmuls over the chunk.
@@ -138,7 +138,7 @@ def _matmul_split3(a, b, dn=_DN_NT):
             + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
 
 
-def _composite_chunk(alpha, LT, done, triS, triI, ones_col):
+def _composite_chunk(alpha, LT, done, triS, triI):
     """Parallel replay of the sequential front-to-back compositing over one
     [NPIX, KB] alpha chunk (pixels in sublanes, pairs in lanes) given carries
     LT (LOG serial transmittance) and done (early-stop latch), [NPIX, 1].
@@ -148,22 +148,23 @@ def _composite_chunk(alpha, LT, done, triS, triI, ones_col):
     stop test Tplain*(1-a) < T_EPS is monotone in the pair index, so the
     serial done latch is cumsum(stop) > 0 (one exact 0/1 tri matmul);
     ``contribute`` is a per-pixel PREFIX mask along lanes, so the new done
-    latch is the negation of its last lane, and the serial carry is
-    T * exp(sum of contributing logs) — no lane reductions anywhere.
+    latch is the negation of its last lane, and the serial carry is the
+    INCLUSIVE log prefix at the last contributing lane — the prefix is
+    non-increasing (every l <= 0), so that's a masked lane-min of values the
+    scan already produced (no extra MXU pass).
     Returns (w, Texcl, contribute, new_T, new_done)."""
     one_minus = 1.0 - alpha
     l = jnp.log(one_minus)  # 0.0 on masked lanes (alpha == 0)
-    Texcl = jnp.exp(LT + _matmul_scan(l, triS))  # serial transmittance
+    logT = LT + _matmul_scan(l, triS)  # exclusive log prefix
+    Texcl = jnp.exp(logT)  # serial transmittance
     # (valid while no stop has fired; lanes past a stop are masked below)
     stopf = ((Texcl * one_minus < T_EPS) | (done > 0.5)).astype(jnp.bfloat16)
     contribute = jax.lax.dot_general(
         stopf, triI, _DN_NT, preferred_element_type=jnp.float32) < 0.5
     w = alpha * Texcl * jnp.where(contribute, 1.0, 0.0)
-    # serial carry: LT + sum of CONTRIBUTING logs (contribute is 0/1 so the
-    # masking preserves the bf16 split exactly); staying in log domain means
-    # no exp and no multiply on the carry path
-    lc = jnp.where(contribute, l, 0.0)
-    new_LT = LT + _matmul_scan(lc, ones_col)  # [NPIX, 1]
+    incl = jnp.where(contribute, logT + l, jnp.inf)
+    m = jnp.min(incl, axis=1, keepdims=True)
+    new_LT = jnp.where(jnp.isinf(m), LT, m)  # no contributing lane -> keep
     new_done = jnp.where(contribute[:, -1:], done, 1.0)
     return w, Texcl, contribute, new_LT, new_done
 
@@ -307,7 +308,6 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
     triS, triI = _tri_mats(KB)
-    ones_col = jnp.ones((KB, 1), jnp.bfloat16)
 
     def chunk_body(ci, carry):
         LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [3, NPIX]
@@ -322,8 +322,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
         alpha, _, _, _ = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
-        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS, triI,
-                                             ones_col)
+        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS, triI)
         colors = buf[5:8, :]  # [3, KB]
         C = C + jax.lax.dot_general(
             colors, w, (((1,), (1,)), ((), ())),
@@ -361,7 +360,6 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     dTT = _to_col(dtrans_ref[0] * trans_ref[0])  # [NPIX, 1]
     basis = _moment_basis()
     triS, triI = _tri_mats(KB)
-    ones_col = jnp.ones((KB, 1), jnp.bfloat16)
 
     def dma(ci, slot):
         return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
@@ -394,7 +392,7 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         # [NPIX, KB]
 
         w, Texcl, contribute, LT, done = _composite_chunk(
-            alpha, LT, done, triS, triI, ones_col)
+            alpha, LT, done, triS, triI)
         # inclusive prefix of <dC, c_j> w_j, replayed in parallel (2-pass
         # bf16-split MXU scan: ~2^-16 relative, ample for a gradient prefix)
         acc_i = acc + _matmul_scan(dbuf * w, triI)  # [NPIX, KB]
