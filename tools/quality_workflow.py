@@ -109,6 +109,9 @@ def main(argv=None):
     ap.add_argument("--chunk", type=int, default=256)
     ap.add_argument("--keep", action="store_true",
                     help="keep the workdir (default: wiped first)")
+    ap.add_argument("--extra_train_args", default="",
+                    help="extra flags passed through to apps.train_gs, "
+                    "space-separated (e.g. '--densify_grad_threshold 1e-4')")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -176,7 +179,7 @@ def main(argv=None):
         "--rasterizer", args.rasterizer,
         "--chunk", str(args.chunk),
         "--quiet",
-    ])
+    ] + (args.extra_train_args.split() if args.extra_train_args else []))
     train_wall_s = _time.time() - t_train0
     render_app.main(["--model_path", model_path,
                      "--iteration", str(args.iterations),
