@@ -112,6 +112,10 @@ def main(argv=None):
     ap.add_argument("--extra_train_args", default="",
                     help="extra flags passed through to apps.train_gs, "
                     "space-separated (e.g. '--densify_grad_threshold 1e-4')")
+    ap.add_argument("--checkpoint_every", type=int, default=0,
+                    help="write full train-state checkpoints every N iters "
+                    "and auto-resume from the latest on restart (long runs "
+                    "over the tunneled backend can die mid-flight)")
     args = ap.parse_args(argv)
 
     import jax.numpy as jnp
@@ -126,12 +130,22 @@ def main(argv=None):
 
     root = os.path.join(args.workdir, "scene")
     model_path = os.path.join(args.workdir, "out")
-    if not args.keep and os.path.isdir(args.workdir):
+    resume_ckpt = None
+    if args.checkpoint_every and os.path.isdir(model_path):
+        import glob as _glob
+        ckpts = _glob.glob(os.path.join(model_path, "chkpnt*.npz"))
+        if ckpts:
+            resume_ckpt = max(
+                ckpts, key=lambda p: int("".join(filter(str.isdigit,
+                                                        os.path.basename(p)))))
+            print(f"resuming from {resume_ckpt}")
+    if resume_ckpt is None and not args.keep and os.path.isdir(args.workdir):
         shutil.rmtree(args.workdir)
     os.makedirs(root, exist_ok=True)
 
-    write_dataset(root, args.n_train, args.n_test, args.size, args.radius,
-                  width=args.width or None, height=args.height or None)
+    if resume_ckpt is None:
+        write_dataset(root, args.n_train, args.n_test, args.size, args.radius,
+                      width=args.width or None, height=args.height or None)
     gt, gt_arrs = gt_scene(args.n_gt, logscale_shift=args.gt_logscale_shift)
 
     # init cloud: noisy GT means (the reference seeds from SfM points); with
@@ -153,23 +167,31 @@ def main(argv=None):
     info = load_data(LoaderArgs())
     from PIL import Image
 
-    for ci in info.train_cameras + info.test_cameras:
-        cam = camera_list_from_infos([ci])[0]
-        img = np.asarray(
-            jnp.clip(render_eval(gt, cam, jnp.zeros(3), 3, args.chunk,
-                                 args.rasterizer), 0, 1))
-        Image.fromarray(
-            (img.transpose(1, 2, 0) * 255).round().astype(np.uint8)
-        ).save(ci.image_path)
+    if resume_ckpt is None:
+        for ci in info.train_cameras + info.test_cameras:
+            cam = camera_list_from_infos([ci])[0]
+            img = np.asarray(
+                jnp.clip(render_eval(gt, cam, jnp.zeros(3), 3, args.chunk,
+                                     args.rasterizer), 0, 1))
+            Image.fromarray(
+                (img.transpose(1, 2, 0) * 255).round().astype(np.uint8)
+            ).save(ci.image_path)
     W = args.width or args.size
     H = args.height or args.size
     print(f"GT: {args.n_gt} gaussians, "
           f"{len(info.train_cameras)}+{len(info.test_cameras)} views "
           f"{W}x{H}, init cloud {pts.shape[0]}")
 
+    ckpt_flags = []
+    if args.checkpoint_every:
+        iters = list(range(args.checkpoint_every, args.iterations + 1,
+                           args.checkpoint_every))
+        ckpt_flags = ["--checkpoint_iterations"] + [str(i) for i in iters]
+    if resume_ckpt is not None:
+        ckpt_flags += ["--start_checkpoint", resume_ckpt]
     import time as _time
     t_train0 = _time.time()
-    train_gs.main([
+    train_gs.main(ckpt_flags + [
         "--source_path", root,
         "--model_path", model_path,
         "--eval",
