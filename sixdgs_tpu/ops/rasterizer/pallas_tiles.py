@@ -698,10 +698,12 @@ def rasterize_pallas(
     means2d_sorted = jax.lax.stop_gradient(records[:, 0:2])
     radii_f = proj.radii[order].astype(jnp.float32)
     vis = visible[order]
+    rec_ng = jax.lax.stop_gradient(records)
     key, tile_ids, gidx_all, counts_g, gbits = _fused_pair_keys(
         means2d_sorted, radii_f, vis, nx, ny, TILE, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
         mid_k=mid_k, t_max_mid=t_max_mid,
+        conics=rec_ng[:, 2:5], opac=rec_ng[:, 8],
     )
     n_slots = P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
     n_slots_pad = -(-n_slots // KB) * KB

@@ -164,13 +164,59 @@ def _emit_counts(x0, y0, x1, y1, valid, budget: int):
     return nv, max_w, max_h
 
 
-def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
+def _tile_min_quadratic(tx, ty, mx, my, conA, conB, conC, tile: int):
+    """Exact min over tile (tx, ty)'s pixel rect of the conic quadratic
+    Q(d) = 0.5*conA*dx^2 + conB*dx*dy + 0.5*conC*dy^2 (power = -Q).
+
+    tx/ty: [G, S] tile coords; mx/my/con*: [G] per-gaussian. Pixel coords in
+    the tile span [t*tile, t*tile + tile - 1]; the CONTINUOUS min over that
+    box lower-bounds every integer pixel's Q, so a cull on it is
+    conservative. PSD quadratic over a box: 0 if the mean lies inside, else
+    the min lies on one of the four edges (1D quadratic, clamped vertex)."""
+    ax = tx.astype(jnp.float32) * tile - mx[:, None]
+    bx = ax + (tile - 1)
+    ay = ty.astype(jnp.float32) * tile - my[:, None]
+    by = ay + (tile - 1)
+    cA = conA[:, None]
+    cB = conB[:, None]
+    cC = conC[:, None]
+
+    def q(dx, dy):
+        return 0.5 * cA * dx * dx + cB * dx * dy + 0.5 * cC * dy * dy
+
+    def edge_x(dx):  # min over dy in [ay, by] at fixed dx
+        dy = jnp.clip(-cB * dx / jnp.maximum(cC, 1e-12), ay, by)
+        return q(dx, dy)
+
+    def edge_y(dy):
+        dx = jnp.clip(-cB * dy / jnp.maximum(cA, 1e-12), ax, bx)
+        return q(dx, dy)
+
+    inside = (ax <= 0.0) & (0.0 <= bx) & (ay <= 0.0) & (0.0 <= by)
+    edge_min = jnp.minimum(
+        jnp.minimum(edge_x(ax), edge_x(bx)),
+        jnp.minimum(edge_y(ay), edge_y(by)),
+    )
+    return jnp.where(inside, 0.0, edge_min)
+
+
+def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int,
+                cull=None, tile: int = 16):
     """(tile ids [G, budget], emitted counts [G]) of a centered sub-rect
     capped to ``budget`` tiles.
 
     Slots [0, counts[g]) of row g carry real tile ids (in-bounds by
     construction: the sub-rect is clipped inside [x0,x1)x[y0,y1) which is
-    clipped to the tile grid); the rest carry the n_tiles sentinel."""
+    clipped to the tile grid); the rest carry the n_tiles sentinel.
+
+    ``cull``: optional (mx, my, conA, conB, conC, qmax) per-gaussian arrays.
+    The bounding rect (CUDA getRect semantics) over-emits tiles the ellipse
+    never reaches at alpha >= 1/255; with cull given, slots whose exact
+    tile-rect quadratic minimum exceeds qmax = log(opac/ALPHA_MIN) are
+    dropped — SEMANTICS-PRESERVING (those pairs fail the kernel's live test
+    on every pixel, so they contribute zero color and zero gradient), and
+    every downstream cost (sort occupancy, compact gather, kernels, backward
+    routing) shrinks with the surviving pair count."""
     nv, max_w, max_h = _emit_counts(x0, y0, x1, y1, valid, budget)
     sx0 = jnp.clip(cx - max_w // 2, x0, jnp.maximum(x1 - max_w, x0))
     sy0 = jnp.clip(cy - max_h // 2, y0, jnp.maximum(y1 - max_h, y0))
@@ -180,6 +226,13 @@ def _rect_pairs(x0, y0, x1, y1, cx, cy, valid, nx, ny, budget: int):
     tx = sx0[:, None] + pw
     ty = sy0[:, None] + ph
     pair_valid = p[None, :] < nv[:, None]
+    if cull is not None:
+        mx, my, conA, conB, conC, qmax = cull
+        qmin = _tile_min_quadratic(tx, ty, mx, my, conA, conB, conC, tile)
+        # small margin: the kernel evaluates Q at integer pixels in f32; the
+        # continuous min is a strict lower bound, the margin absorbs rounding
+        pair_valid = pair_valid & (qmin <= qmax[:, None] + 1e-4)
+        nv = jnp.sum(pair_valid, axis=1).astype(nv.dtype)
     n_tiles = nx * ny
     return jnp.where(pair_valid, ty * nx + tx, n_tiles), nv
 
@@ -315,7 +368,8 @@ def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
 
 def _fused_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
                      t_max: int, overflow_k: int = 256, t_max_big: int = 1024,
-                     mid_k: int = 4096, t_max_mid: int = 64):
+                     mid_k: int = 4096, t_max_mid: int = 64,
+                     conics=None, opac=None):
     """Pre-sort pair data for the compact-gather pipeline (pallas path).
 
     Returns (key, tile_ids, gidx, counts_g, gbits):
@@ -340,14 +394,25 @@ def _fused_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
     giant_idx, giant_ok, mid_idx, mid_ok, in_tier = _select_tiers(
         area, vis & (area > t_max), t_max, mid_k, overflow_k
     )
+    cull = cull_mid = cull_big = None
+    if conics is not None:
+        # conic-precise tile culling (see _rect_pairs): qmax in Q units
+        qmax = jnp.log(jnp.maximum(opac, 1e-12) / ALPHA_MIN)
+        cull = (means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+                conics[:, 2], qmax)
+        cull_mid = tuple(c[mid_idx] for c in cull)
+        cull_big = tuple(c[giant_idx] for c in cull)
     main_ids, main_n = _rect_pairs(
-        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max)
+        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max,
+        cull=cull, tile=tile)
     mid_ids, mid_n = _rect_pairs(
         x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx],
-        cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid)
+        cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid,
+        cull=cull_mid, tile=tile)
     big_ids, big_n = _rect_pairs(
         x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
-        cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big)
+        cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big,
+        cull=cull_big, tile=tile)
 
     counts_g = (
         main_n.at[mid_idx].add(jnp.where(mid_ok, mid_n, 0))

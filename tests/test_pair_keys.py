@@ -76,3 +76,52 @@ class TestFusedPairKeys:
         np.testing.assert_array_equal(fused, ref)
         hist = np.bincount(g[valid], minlength=P)
         np.testing.assert_array_equal(np.asarray(counts_g), hist)
+
+
+class TestConicCulling:
+    def test_culling_reduces_pairs_preserving_coverage(self):
+        """With conics/opacity given, _fused_pair_keys drops rect tiles the
+        ellipse never reaches at alpha >= 1/255 — strictly fewer pairs, and
+        every culled (tile, gaussian) pair's exact tile-rect quadratic min
+        exceeds log(opac/ALPHA_MIN) (zero contribution on every pixel)."""
+        from sixdgs_tpu.ops.rasterizer.compositing import ALPHA_MIN
+        from sixdgs_tpu.ops.rasterizer.tiles import _tile_min_quadratic
+
+        rng = np.random.default_rng(8)
+        P, nx, ny = 400, 10, 8
+        means, radii, vis = make_inputs(P, nx, ny, seed=8)
+        # anisotropic conics (normalized from random SPD matrices) + opacities
+        a = rng.uniform(0.01, 0.2, size=P)
+        c = rng.uniform(0.01, 0.2, size=P)
+        b = rng.uniform(-1, 1, size=P) * 0.9 * np.sqrt(a * c)
+        conics = jnp.asarray(np.stack([a, b, c], -1), jnp.float32)
+        opac = jnp.asarray(rng.uniform(0.01, 1.0, size=P), jnp.float32)
+
+        kw = dict(overflow_k=16, t_max_big=256, mid_k=64, t_max_mid=32)
+        key0, *_rest0 = _fused_pair_keys(means, radii, vis, nx, ny, 16, 16, **kw)
+        key1, _, _, counts1, gbits = _fused_pair_keys(
+            means, radii, vis, nx, ny, 16, 16, conics=conics, opac=opac, **kw)
+        n_tiles = nx * ny
+
+        def decode(key):
+            k = np.asarray(key).astype(np.int64)
+            t = k >> gbits
+            g = k & ((1 << gbits) - 1)
+            valid = t < n_tiles
+            return set(zip(t[valid].tolist(), g[valid].tolist()))
+
+        full, culled = decode(key0), decode(key1)
+        assert culled < full  # strict subset, strictly fewer
+        assert len(culled) == int(np.asarray(counts1).sum())
+        # every dropped pair is genuinely unreachable at ALPHA_MIN
+        dropped = np.asarray(sorted(full - culled), np.int64)
+        t, g = dropped[:, 0], dropped[:, 1]
+        qmin = np.asarray(_tile_min_quadratic(
+            jnp.asarray((t % nx)[None, :].T % nx).reshape(-1, 1).astype(jnp.int32),
+            jnp.asarray((t // nx)).reshape(-1, 1).astype(jnp.int32),
+            jnp.asarray(np.asarray(means)[g, 0]),
+            jnp.asarray(np.asarray(means)[g, 1]),
+            conics[g, 0], conics[g, 1], conics[g, 2], 16,
+        )).reshape(-1)
+        qmax = np.log(np.asarray(opac)[g] / ALPHA_MIN)
+        assert np.all(qmin > qmax), (qmin.max(), qmax.min())
