@@ -314,7 +314,8 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
 
 def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
                     t_max: int, overflow_k: int = 256, t_max_big: int = 1024,
-                    mid_k: int = 4096, t_max_mid: int = 64):
+                    mid_k: int = 4096, t_max_mid: int = 64,
+                    conics=None, opac=None):
     """Pre-sort pair keys:
     (tile_ids, pair_gidx, mid_idx, mid_ok, giant_idx, giant_ok).
 
@@ -336,16 +337,26 @@ def _make_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         area, vis & (area > t_max), t_max, mid_k, overflow_k
     )
 
+    cull = cull_mid = cull_big = None
+    if conics is not None:
+        qmax = jnp.log(jnp.maximum(opac, 1e-12) / ALPHA_MIN)
+        cull = (means2d[:, 0], means2d[:, 1], conics[:, 0], conics[:, 1],
+                conics[:, 2], qmax)
+        cull_mid = tuple(c[mid_idx] for c in cull)
+        cull_big = tuple(c[giant_idx] for c in cull)
     main_ids, _ = _rect_pairs(
-        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max
+        x0, y0, x1, y1, cx, cy, vis & ~in_tier, nx, ny, t_max,
+        cull=cull, tile=tile,
     )  # [P, t_max]
     mid_ids, _ = _rect_pairs(
         x0[mid_idx], y0[mid_idx], x1[mid_idx], y1[mid_idx],
         cx[mid_idx], cy[mid_idx], mid_ok, nx, ny, t_max_mid,
+        cull=cull_mid, tile=tile,
     )  # [K2, t_max_mid]
     giant_ids, _ = _rect_pairs(
         x0[giant_idx], y0[giant_idx], x1[giant_idx], y1[giant_idx],
         cx[giant_idx], cy[giant_idx], giant_ok, nx, ny, t_max_big,
+        cull=cull_big, tile=tile,
     )  # [K, t_max_big]
 
     tile_ids = jnp.concatenate(
@@ -443,7 +454,8 @@ def _fused_pair_keys(means2d, radii_f, vis, nx: int, ny: int, tile: int,
 
 def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
                overflow_k: int = 256, t_max_big: int = 1024,
-               mid_k: int = 4096, t_max_mid: int = 64):
+               mid_k: int = 4096, t_max_mid: int = 64,
+               conics=None, opac=None):
     """(tile, pair) assignment for depth-ordered gaussians; 3-tier budgets.
 
     Most gaussians cover few tiles and get ``t_max`` pair slots; the mid_k
@@ -462,7 +474,7 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
     tile_ids, pair_gidx, mid_idx, mid_ok, big_idx, big_ok = _make_pair_keys(
         means2d, radii_f, vis, nx, ny, tile, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
-        mid_k=mid_k, t_max_mid=t_max_mid,
+        mid_k=mid_k, t_max_mid=t_max_mid, conics=conics, opac=opac,
     )
     n_pairs = tile_ids.shape[0]
 
@@ -558,11 +570,13 @@ def rasterize_tiled(
     radii_f = proj.radii[order].astype(means2d.dtype)
     vis = visible[order]
 
+    rec_ng = jax.lax.stop_gradient(records)
     (pair_order, sorted_tiles, starts, pair_rank,
      gidx_sorted, mid_idx, mid_ok, big_idx, big_ok) = _bin_pairs(
         means2d, radii_f, vis, nx, ny, tile, t_max,
         overflow_k=overflow_k, t_max_big=t_max_big,
         mid_k=mid_k, t_max_mid=t_max_mid,
+        conics=rec_ng[:, 2:5], opac=rec_ng[:, 8],
     )
     inv_order = _invert_perm_payload(
         pair_order, jnp.arange(pair_order.shape[0], dtype=jnp.int32)
