@@ -292,8 +292,10 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         jnp.where(giant_ok, jnp.maximum(area[giant_idx] - t_max_big, 0), 0)
     )
     overflow_spill = jnp.sum(((area > t_max) & ~in_tier).astype(jnp.int32))
-    # exact emitted pair count (the compact-gather pipeline's nc_pairs budget
-    # must exceed this; the trainer widens nc_pairs when it saturates)
+    # emitted pair count BEFORE conic culling (an upper bound on the
+    # rasterizer's real emission — the cull drops 30-40% more; keeping the
+    # bound here avoids materializing the [P, budget] slot grids a second
+    # time per step, and over-widening nc_pairs is safe)
     x0, y0, x1, y1, *_ = _rect_bounds(means2d, radii_f, nx, ny, tile)
     main_n, _, _ = _emit_counts(x0, y0, x1, y1, vis & ~in_tier, t_max)
     mid_n, _, _ = _emit_counts(
