@@ -90,6 +90,7 @@ def pretrain_single_object(
     dino_params,
     cfg: PoseEstimationConfig,
     seed: int = 55176280,
+    backbone: str = "dino",
 ):
     """Train + evaluate one scene (pretrain_eval_attention.py:31-154)."""
     from sixdgs_tpu.pose.evaluate import test_pose_estimation
@@ -101,10 +102,13 @@ def pretrain_single_object(
     scene = load_ply(checkpoint_filepath, max_sh_degree=checkpoint_args.sh_degree)
     scene_info = load_data(checkpoint_args)
 
-    id_params = init_id_module(jax.random.key(seed))
+    feature_dim, grid = (256, 28) if backbone == "superpoint" else (384, 16)
+    id_params = init_id_module(jax.random.key(seed), feature_dim=feature_dim,
+                               grid=grid)
     ckpt_path = os.path.join(exp_dir_filepath, "id_module.npz")
     trainer = PoseTrainer(
-        dino_params, id_params, scene, scene_info.train_cameras, cfg, seed=seed
+        dino_params, id_params, scene, scene_info.train_cameras, cfg, seed=seed,
+        backbone=backbone,
     )
     start_iterations = 0
     if os.path.exists(ckpt_path):
@@ -134,7 +138,7 @@ def pretrain_single_object(
     (_, ov_t, ov_a, ov_s, ov_r, _) = test_pose_estimation(
         scene_info.test_cameras, dino_params, id_params, rays, model_up,
         sequence_id=object_id, category_id=category_name, use_target_scores=True,
-        k=cfg.rays_to_output,
+        k=cfg.rays_to_output, backbone=backbone,
     )
     print("Overfit AVG translation error:", ov_t)
     print("Overfit AVG angular error:", ov_a)
@@ -143,6 +147,7 @@ def pretrain_single_object(
     (results, t_err, a_err, s_loss, recall, t_img) = test_pose_estimation(
         scene_info.test_cameras, dino_params, id_params, rays, model_up,
         sequence_id=object_id, category_id=category_name, k=cfg.rays_to_output,
+        backbone=backbone,
     )
     print("Test AVG translation error:", t_err)
     print("Test AVG angular error:", a_err)
@@ -162,6 +167,13 @@ def main(argv=None):
     parser.add_argument("--dino_weights", type=str, default=None,
                         help="converted DINOv2-S/14 weights (.npz or torch .pth); "
                         "random init if absent (no-egress container)")
+    parser.add_argument("--backbone", type=str, default="dino",
+                        choices=["dino", "superpoint"],
+                        help="image backbone (backbone_type in the reference "
+                        "IdentificationModule; superpoint = 28x28 grid, "
+                        "256-dim descriptors)")
+    parser.add_argument("--superpoint_weights", type=str, default=None,
+                        help="converted superpoint_v1 weights (.npz)")
     parser.add_argument("--n_iterations", type=int, default=1500)
     parser.add_argument("--ray_budget", type=int, default=32768)
     parser.add_argument("--batch", type=int, default=32)
@@ -173,7 +185,23 @@ def main(argv=None):
 
     from sixdgs_tpu.pose import dino
 
-    dino_params = dino.load_params(args.dino_weights, key=jax.random.key(71170))
+    if args.backbone == "superpoint":
+        from sixdgs_tpu.pose import superpoint as sp_mod
+
+        if args.superpoint_weights:
+            import numpy as _np
+
+            flat = dict(_np.load(args.superpoint_weights))
+            dino_params = {
+                name: {"w": jnp.asarray(flat[f"{name}.w"]),
+                       "b": jnp.asarray(flat[f"{name}.b"])}
+                for name in set(k.rsplit(".", 1)[0] for k in flat)
+            }
+        else:
+            dino_params = sp_mod.init_params(jax.random.key(71170))
+    else:
+        dino_params = dino.load_params(args.dino_weights,
+                                       key=jax.random.key(71170))
     cfg = PoseEstimationConfig(
         n_iterations=args.n_iterations,
         ray_budget=args.ray_budget,
@@ -196,6 +224,7 @@ def main(argv=None):
                     exp["category_name"],
                     dino_params,
                     cfg,
+                    backbone=args.backbone,
                 )
             )
         except RuntimeError:

@@ -25,10 +25,12 @@ IMAGENET_MEAN = (0.485, 0.456, 0.406)
 IMAGENET_STD = (0.229, 0.224, 0.225)
 RESIZE = 256
 CROP = 224
-PATCH_GRID = 16  # 224 / 14
+PATCH_GRID = 16  # 224 / 14 (DINOv2)
+PATCH_GRID_SP = 28  # 224 / 8 (SuperPoint stride-8 descriptors)
 NUM_PATCHES = PATCH_GRID * PATCH_GRID
 PE_DIM = 14
 FEATURE_DIM = 384
+FEATURE_DIM_SP = 256
 
 
 def _resize_shorter(img: jnp.ndarray, target: int, method: str) -> jnp.ndarray:
@@ -58,12 +60,12 @@ def preprocess_image(img: jnp.ndarray) -> jnp.ndarray:
     return jnp.transpose(x, (2, 0, 1))
 
 
-def preprocess_mask(mask: jnp.ndarray) -> jnp.ndarray:
-    """[H, W] bool/float -> [16, 16] bool patch mask (threshold 0.1)."""
+def preprocess_mask(mask: jnp.ndarray, grid: int = PATCH_GRID) -> jnp.ndarray:
+    """[H, W] bool/float -> [grid, grid] bool patch mask (threshold 0.1)."""
     m = mask.astype(jnp.float32)[..., None]
     m = _resize_shorter(m, RESIZE, "bilinear")
     m = _center_crop(m, CROP)
-    m = jax.image.resize(m, (PATCH_GRID, PATCH_GRID, 1), "bilinear", antialias=True)
+    m = jax.image.resize(m, (grid, grid, 1), "bilinear", antialias=True)
     return m[..., 0] > 0.1
 
 
@@ -88,24 +90,36 @@ def backbone_features(
     dino_params,
     img: jnp.ndarray,
     mask: jnp.ndarray,
+    backbone: str = "dino",
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Full backbone forward.
 
     Args:
-        dino_params: DINOv2 param pytree.
+        dino_params: backbone param pytree (DINOv2 or SuperPoint — the
+            reference selects with backbone_type, backbone.py:14-22; both
+            share the identical resize-256/crop-224/ImageNet preprocessing).
         img: [H, W, 3] float image in [0, 1].
         mask: [H, W] foreground mask.
+        backbone: "dino" (16x16 grid, 384-dim) or "superpoint"
+            (28x28 grid, 256-dim L2-normalized descriptors).
 
     Returns:
-        (features_with_pe [256, 398], patch_mask [256] bool,
-         feature_map [384, 16, 16]).
+        (features_with_pe [G*G, D+14], patch_mask [G*G] bool,
+         feature_map [D, G, G]).
     """
-    from sixdgs_tpu.pose import dino
-
     norm_img = preprocess_image(img)
-    patch_mask = preprocess_mask(mask).reshape(-1)
-    feats = dino.forward_features(dino_params, norm_img)["x_norm_patchtokens"]
-    pe = image_position_encoding().astype(feats.dtype)
-    feats_pe = jnp.concatenate([feats, pe], axis=-1)  # [256, D+14]
-    fmap = feats.reshape(PATCH_GRID, PATCH_GRID, feats.shape[-1]).transpose(2, 0, 1)
+    if backbone == "superpoint":
+        from sixdgs_tpu.pose import superpoint as sp
+
+        grid = PATCH_GRID_SP
+        feats = sp.forward_features(dino_params, norm_img)["x_norm_patchtokens"]
+    else:
+        from sixdgs_tpu.pose import dino
+
+        grid = PATCH_GRID
+        feats = dino.forward_features(dino_params, norm_img)["x_norm_patchtokens"]
+    patch_mask = preprocess_mask(mask, grid).reshape(-1)
+    pe = image_position_encoding(grid).astype(feats.dtype)
+    feats_pe = jnp.concatenate([feats, pe], axis=-1)  # [G*G, D+14]
+    fmap = feats.reshape(grid, grid, feats.shape[-1]).transpose(2, 0, 1)
     return feats_pe, patch_mask, fmap

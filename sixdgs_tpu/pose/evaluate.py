@@ -27,7 +27,8 @@ from sixdgs_tpu.pose.trainer import prepare_image_mask
 from sixdgs_tpu.rays.engine import Rays
 
 
-@functools.partial(jax.jit, static_argnames=("k", "use_target_scores", "fused_attention"))
+@functools.partial(jax.jit, static_argnames=("k", "use_target_scores",
+                                             "fused_attention", "backbone"))
 def eval_image(
     dino_params,
     id_params,
@@ -38,10 +39,11 @@ def eval_image(
     k: int = 100,
     use_target_scores: bool = False,
     fused_attention: bool = False,
+    backbone: str = "dino",
 ):
     """Score, solve and compare one image against ground truth."""
     out = score_image(dino_params, id_params, img, mask, rays,
-                      fused_attention=fused_attention)
+                      fused_attention=fused_attention, backbone=backbone)
     loss_score, target = distance_score_loss(
         out.scores, gt_c2w, rays.ori, rays.dir, rays.valid, out.n_patches
     )
@@ -75,6 +77,7 @@ def test_pose_estimation(
     category_id: str = "",
     use_target_scores: bool = False,
     k: int = 100,
+    backbone: str = "dino",
 ):
     """Evaluate a list of CameraInfo (reference signature analogue).
 
@@ -89,6 +92,7 @@ def test_pose_estimation(
         out = eval_image(
             dino_params, id_params, jnp.asarray(img), jnp.asarray(mask),
             jnp.asarray(info.c2w()), rays, k=k, use_target_scores=use_target_scores,
+            backbone=backbone,
         )
         out = jax.device_get(out)
         t_errs.append(float(out["translation_error"]))

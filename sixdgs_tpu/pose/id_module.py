@@ -31,11 +31,12 @@ class ScoreOutput(NamedTuple):
 
 
 def score_image(dino_params, id_params, img, mask, rays: Rays,
-                fused_attention: bool = False) -> ScoreOutput:
+                fused_attention: bool = False,
+                backbone: str = "dino") -> ScoreOutput:
     """Score every ray against one image.
 
     Args:
-        dino_params: frozen DINOv2 params.
+        dino_params: frozen backbone params (DINOv2 or SuperPoint).
         id_params: dict(ray_mlp, attention, cam_up).
         img: [H, W, 3] float in [0, 1].
         mask: [H, W] foreground mask.
@@ -43,8 +44,11 @@ def score_image(dino_params, id_params, img, mask, rays: Rays,
         fused_attention: use the Pallas streaming kernel — the [256 x N_rays]
             attention matrix never touches HBM; differentiable (custom-VJP
             streaming backward), so it also serves large-ray-count training.
+        backbone: "dino" | "superpoint" (backbone_type in the reference's
+            IdentificationModule ctor, identification_module.py:11-15).
     """
-    feats_pe, patch_mask, fmap = backbone_features(dino_params, img, mask)
+    feats_pe, patch_mask, fmap = backbone_features(dino_params, img, mask,
+                                                   backbone=backbone)
     ray_feats = ray_mlp_apply(id_params["ray_mlp"], rays.ori, rays.dir, rays.rgb)
     if fused_attention:
         from sixdgs_tpu.ops.attention_kernel import fused_ray_scores
@@ -71,13 +75,13 @@ def score_image(dino_params, id_params, img, mask, rays: Rays,
     )
 
 
-def compute_image_features(dino_params, img, mask):
-    """Backbone features for caching: (feats_pe [256, D+14], patch_mask [256],
-    fmap [D, 16, 16]). The backbone is frozen during id-module training
+def compute_image_features(dino_params, img, mask, backbone: str = "dino"):
+    """Backbone features for caching: (feats_pe [G*G, D+14], patch_mask
+    [G*G], fmap [D, G, G]). The backbone is frozen during id-module training
     (pose_estimation/train.py:36-40), so these are constants per camera — the
     reference recomputes them on every one of the 32 accumulation steps; we
     compute them once per camera."""
-    return backbone_features(dino_params, img, mask)
+    return backbone_features(dino_params, img, mask, backbone=backbone)
 
 
 def score_image_cached(id_params, feats_pe, patch_mask, fmap, rays: Rays) -> ScoreOutput:

@@ -120,12 +120,18 @@ def attention_scores(params, img_features, ray_features, ray_valid):
 
 
 def init_cam_up(key, channels: int = FEATURE_DIM, fea_output: int = 3,
-                featureC: int = 256):
+                featureC: int = 256, grid: int = 16):
+    """Grid 16 (DINO) reduces 16->4->1 so the MLP sees [channels]; grid 28
+    (SuperPoint) reduces 28->16->13 so it sees [channels * 13 * 13] — the
+    reference head computes in_mlpC = prod(final conv size) * channels
+    (camera_direction_network.py:31-36)."""
     ks = jax.random.split(key, 6)
+    s = grid - 3 * 4 - 3  # three valid 5x5 convs then one valid 4x4
+    assert s >= 1, grid
     return {
         "conv1": [_torch_conv_init(ks[i], 5, 5, channels, channels) for i in range(3)],
         "conv2": [_torch_conv_init(ks[3], 4, 4, channels, channels)],
-        "mlp1": _torch_linear_init(ks[4], channels, featureC),
+        "mlp1": _torch_linear_init(ks[4], channels * s * s, featureC),
         "mlp2": _torch_linear_init(ks[5], featureC, fea_output),
     }
 
@@ -139,13 +145,14 @@ def _conv_valid(x, p):
 
 
 def cam_up_apply(params, feature_map):
-    """[384, 16, 16] -> [3] unnormalized up direction."""
+    """[C, G, G] -> [3] unnormalized up direction (residual spatial dims are
+    flattened C-major like the reference's conv2_output.view(B, -1))."""
     x = feature_map
     for p in params["conv1"]:
         x = jax.nn.relu(_conv_valid(x, p))
     for p in params["conv2"]:
         x = jax.nn.relu(_conv_valid(x, p))
-    x = x.reshape(-1)  # [384 * 1 * 1]
+    x = x.reshape(-1)  # [C * s * s]
     h = jax.nn.relu(x @ params["mlp1"]["w"] + params["mlp1"]["b"])
     return h @ params["mlp2"]["w"] + params["mlp2"]["b"]
 
@@ -153,13 +160,14 @@ def cam_up_apply(params, feature_map):
 # --------------------------------------------------------------- id module
 
 
-def init_id_module(key, feature_dim: int = FEATURE_DIM) -> Dict:
-    """feature_dim: backbone token dim (384 for DINOv2-S; smaller in tests)."""
+def init_id_module(key, feature_dim: int = FEATURE_DIM, grid: int = 16) -> Dict:
+    """feature_dim: backbone token dim (384 for DINOv2-S, 256 for SuperPoint;
+    smaller in tests). grid: backbone patch grid (16 DINO / 28 SuperPoint)."""
     k1, k2, k3 = jax.random.split(key, 3)
     return {
         "ray_mlp": init_ray_mlp(k1, fea_output=feature_dim),
         "attention": init_attention(
             k2, ray_fea=feature_dim, img_fea=feature_dim + 14, embed=feature_dim
         ),
-        "cam_up": init_cam_up(k3, channels=feature_dim),
+        "cam_up": init_cam_up(k3, channels=feature_dim, grid=grid),
     }

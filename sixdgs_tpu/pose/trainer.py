@@ -57,11 +57,12 @@ def make_adafactor() -> optax.GradientTransformation:
 
 
 def batch_loss(id_params, dino_params, batch: PoseBatch, rays: Rays,
-               model_up: jnp.ndarray):
+               model_up: jnp.ndarray, backbone: str = "dino"):
     """Mean loss over the image batch, NaN-skipping like train.py:176-177."""
 
     def per_image(img, mask, c2w):
-        out = score_image(dino_params, id_params, img, mask, rays)
+        out = score_image(dino_params, id_params, img, mask, rays,
+                          backbone=backbone)
         loss_score, target = distance_score_loss(
             out.scores, c2w, rays.ori, rays.dir, rays.valid, out.n_patches
         )
@@ -111,11 +112,13 @@ def batch_loss_cached(id_params, fbatch: FeatureBatch, rays: Rays,
     return total, aux
 
 
-@functools.partial(jax.jit, static_argnames=("optimizer",), donate_argnames=("id_params", "opt_state"))
+@functools.partial(jax.jit, static_argnames=("optimizer", "backbone"),
+                   donate_argnames=("id_params", "opt_state"))
 def pose_train_step(id_params, opt_state, dino_params, batch: PoseBatch,
-                    rays: Rays, model_up: jnp.ndarray, *, optimizer):
+                    rays: Rays, model_up: jnp.ndarray, *, optimizer,
+                    backbone: str = "dino"):
     (loss, aux), grads = jax.value_and_grad(batch_loss, has_aux=True)(
-        id_params, dino_params, batch, rays, model_up
+        id_params, dino_params, batch, rays, model_up, backbone
     )
     # zero NaN/inf gradients (a NaN image is skipped by the masked mean; this
     # guards pathological batches entirely NaN)
@@ -161,8 +164,9 @@ class PoseTrainer:
 
     def __init__(self, dino_params, id_params, scene, train_cam_infos,
                  cfg: Optional[PoseEstimationConfig] = None, seed: int = 55176280,
-                 cache_features: bool = True):
+                 cache_features: bool = True, backbone: str = "dino"):
         self.cfg = cfg or PoseEstimationConfig()
+        self.backbone = backbone
         self.dino_params = dino_params
         # own a copy: pose_train_step donates id_params buffers, which would
         # invalidate the caller's arrays
@@ -186,7 +190,8 @@ class PoseTrainer:
         self._feat_cache = None
         if cache_features:
             feat_fn = jax.jit(
-                lambda img, mask: compute_image_features(dino_params, img, mask)
+                lambda img, mask: compute_image_features(dino_params, img, mask,
+                                                         backbone=backbone)
             )
             feats = [
                 jax.device_get(feat_fn(jnp.asarray(img), jnp.asarray(mask)))
@@ -247,6 +252,7 @@ class PoseTrainer:
                 self.id_params, self.opt_state, aux = pose_train_step(
                     self.id_params, self.opt_state, self.dino_params, batch,
                     self.rays, self.model_up, optimizer=self.optimizer,
+                    backbone=self.backbone,
                 )
             self.running_loss += float(aux["loss"])
             if callback is not None and (it % log_every == log_every - 1):

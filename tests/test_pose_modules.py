@@ -10,6 +10,7 @@ import jax.numpy as jnp
 import pytest
 
 from sixdgs_tpu.pose import dino
+from sixdgs_tpu.pose import modules
 from sixdgs_tpu.pose.backbone import (
     image_position_encoding,
     preprocess_image,
@@ -409,3 +410,69 @@ class TestIdModule:
         assert RAY_IN_DIM == 141  # 3*3 + 2*(8*3 + 8*3 + 6*3)
         out = ray_mlp_apply(params, jnp.zeros((7, 3)), jnp.zeros((7, 3)), jnp.zeros((7, 3)))
         assert out.shape == (7, 384)
+
+
+class TestSuperPointBackbone:
+    """backbone_type="superpoint" (identification_module.py:11-15,
+    backbone.py:14-22): 28x28 grid, 256-dim descriptors, same
+    resize-256/crop-224/ImageNet preprocessing."""
+
+    def test_score_image_superpoint(self):
+        from sixdgs_tpu.pose import superpoint as sp
+        from sixdgs_tpu.pose.id_module import score_image
+        from sixdgs_tpu.rays.engine import Rays
+
+        rng = np.random.default_rng(31)
+        sp_params = sp.init_params(jax.random.key(1))
+        id_params = modules.init_id_module(jax.random.key(2), feature_dim=256,
+                                           grid=28)
+        n = 128
+        rays = Rays(
+            ori=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            dir=jnp.asarray(rng.normal(size=(n, 3)).astype(np.float32)),
+            rgb=jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32)),
+            valid=jnp.ones(n, bool), gaussian_idx=jnp.zeros(n, jnp.int32))
+        img = jnp.asarray(rng.uniform(size=(240, 300, 3)).astype(np.float32))
+        mask = jnp.ones((240, 300), bool)
+        out = score_image(sp_params, id_params, img, mask, rays,
+                          backbone="superpoint")
+        assert out.attention.shape == (784, n)
+        assert int(out.n_patches) == 784
+        # softmax rows over all-valid rays: scores sum to n_patches
+        np.testing.assert_allclose(float(out.scores.sum()), 784.0, rtol=1e-4)
+        assert np.isfinite(np.asarray(out.cam_up)).all()
+
+    def test_cam_up_28_matches_reference_head(self):
+        """Generalized 28-grid cam-up head == the reference
+        CameraDirectionPredictor(256, (28, 28)) with copied weights (the
+        residual 13x13 spatial flatten must match view(B, -1) order)."""
+        torch = pytest.importorskip("torch")
+        if REF not in sys.path:
+            sys.path.insert(0, REF)
+        from pose_estimation.camera_direction_network import (
+            CameraDirectionPredictor,
+        )
+
+        rng = np.random.default_rng(32)
+        d = 256
+        params = modules.init_cam_up(jax.random.key(5), channels=d, grid=28)
+        cam = CameraDirectionPredictor(d, (28, 28))
+
+        def t(x):
+            return torch.from_numpy(np.asarray(x, np.float32))
+
+        for i, p in enumerate(params["conv1"]):
+            cam.dim_reducer1[2 * i].weight.data = t(p["w"])
+            cam.dim_reducer1[2 * i].bias.data = t(p["b"])
+        cam.dim_reducer2[0].weight.data = t(params["conv2"][0]["w"])
+        cam.dim_reducer2[0].bias.data = t(params["conv2"][0]["b"])
+        cam.mlp[0].weight.data = t(params["mlp1"]["w"]).T.contiguous()
+        cam.mlp[0].bias.data = t(params["mlp1"]["b"])
+        cam.mlp[2].weight.data = t(params["mlp2"]["w"]).T.contiguous()
+        cam.mlp[2].bias.data = t(params["mlp2"]["b"])
+
+        fmap = rng.normal(size=(d, 28, 28)).astype(np.float32) * 0.2
+        with torch.no_grad():
+            ref = cam(torch.from_numpy(fmap)).numpy()
+        ours = np.asarray(modules.cam_up_apply(params, jnp.asarray(fmap)))
+        np.testing.assert_allclose(ours, ref, atol=2e-4, rtol=1e-3)
