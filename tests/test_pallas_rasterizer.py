@@ -150,3 +150,50 @@ class TestPallasHardware:
         g_it = jax.grad(lambda c: loss(c, True))(proj.colors)
         np.testing.assert_allclose(np.asarray(g_hw), np.asarray(g_it),
                                    atol=1e-4, rtol=5e-3)
+
+
+class TestEdgeCases:
+    @pytest.mark.parametrize("case", ["empty", "all_culled", "single"])
+    def test_degenerate_scenes(self, case):
+        """Zero visible gaussians (all behind camera), sub-1/255 opacities
+        (every pair conic-culled), and a single gaussian must all render and
+        differentiate without NaNs; empty/culled scenes return pure
+        background with zero gradients."""
+        from sixdgs_tpu.ops.rasterizer.projection import ProjectedGaussians
+
+        rng = np.random.default_rng(10)
+        n, W, H = 40, 48, 32
+        means = jnp.asarray(rng.uniform([0, 0], [W, H], size=(n, 2)),
+                            jnp.float32)
+        conics = jnp.asarray(
+            np.tile(np.array([[0.15, 0.0, 0.15]], np.float32), (n, 1)))
+        colors = jnp.asarray(rng.uniform(size=(n, 3)).astype(np.float32))
+        depths = jnp.asarray(rng.uniform(1, 5, size=n).astype(np.float32))
+        if case == "empty":
+            radii = jnp.zeros(n, jnp.int32)
+            opac = jnp.full(n, 0.5)
+        elif case == "all_culled":
+            radii = jnp.full(n, 6, jnp.int32)
+            opac = jnp.full(n, 1.0 / 1000.0)  # below ALPHA_MIN everywhere
+        else:
+            radii = jnp.where(jnp.arange(n) == 0, 6, 0).astype(jnp.int32)
+            opac = jnp.full(n, 0.7)
+        bg = jnp.asarray([0.25, 0.5, 0.75])
+
+        def render(colors, opac):
+            proj = ProjectedGaussians(
+                means2d=means, conics=conics, colors=colors, opacities=opac,
+                depths=depths, radii=radii)
+            return rasterize_pallas(proj, W, H, bg, t_max=16, interpret=True)
+
+        img, vjp = jax.vjp(render, colors, opac)
+        img = np.asarray(img)
+        assert np.isfinite(img).all()
+        dcol, dopac = vjp(jnp.ones_like(img))
+        assert np.isfinite(np.asarray(dcol)).all()
+        assert np.isfinite(np.asarray(dopac)).all()
+        if case in ("empty", "all_culled"):
+            np.testing.assert_allclose(
+                img, np.broadcast_to(np.asarray(bg)[:, None, None], img.shape),
+                atol=1e-6)
+            np.testing.assert_allclose(np.asarray(dcol), 0.0, atol=1e-7)
