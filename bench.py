@@ -255,7 +255,38 @@ def bench_train_step(P=131072, W=1232, H=816):
     return (time.perf_counter() - t0) / n * 1e3
 
 
+def _backend_watchdog(seconds: float = 300.0):
+    """Emit an error JSON line and exit if the backend never comes up.
+
+    The tunneled (axon) backend can be down; jax would then block forever in
+    device init and the driver would record nothing. The watchdog guarantees
+    ONE JSON line either way; call .set() on the returned event once the
+    first real device op has completed."""
+    import os
+    import threading
+
+    done = threading.Event()
+
+    def bail():
+        if not done.wait(seconds):
+            print(json.dumps({
+                "metric": "pose_estimation_latency",
+                "value": None,
+                "unit": "ms/image",
+                "vs_baseline": None,
+                "error": f"TPU backend unavailable (no device op within "
+                         f"{seconds:.0f}s)",
+            }), flush=True)
+            os._exit(3)
+
+    threading.Thread(target=bail, daemon=True).start()
+    return done
+
+
 def main():
+    watchdog = _backend_watchdog()
+    jax.device_get(jnp.ones(8) + 1.0)  # backend liveness probe
+    watchdog.set()
     ms, (id_params, rays), fused_error = bench_pose()
     target_ms = 50.0
     result = {
