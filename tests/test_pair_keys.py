@@ -125,3 +125,37 @@ class TestConicCulling:
         )).reshape(-1)
         qmax = np.log(np.asarray(opac)[g] / ALPHA_MIN)
         assert np.all(qmin > qmax), (qmin.max(), qmax.min())
+
+
+class TestTileMinQuadratic:
+    def test_lower_bounds_every_pixel(self):
+        """The continuous box min must lower-bound the quadratic at every
+        integer pixel of the tile (conservativeness = the cull can never
+        drop a contributing pair), and must be tight: equal to the brute
+        grid min when the minimizing pixel is a box corner/edge point."""
+        from sixdgs_tpu.ops.rasterizer.tiles import _tile_min_quadratic
+
+        rng = np.random.default_rng(12)
+        G, tile = 200, 16
+        a = rng.uniform(0.005, 0.5, size=G)
+        c = rng.uniform(0.005, 0.5, size=G)
+        b = rng.uniform(-1, 1, size=G) * 0.95 * np.sqrt(a * c)
+        mx = rng.uniform(-40, 70, size=G).astype(np.float32)
+        my = rng.uniform(-40, 70, size=G).astype(np.float32)
+        tx = rng.integers(0, 4, size=G)
+        ty = rng.integers(0, 4, size=G)
+
+        qmin = np.asarray(_tile_min_quadratic(
+            jnp.asarray(tx[:, None], jnp.int32), jnp.asarray(ty[:, None], jnp.int32),
+            jnp.asarray(mx), jnp.asarray(my),
+            jnp.asarray(a, jnp.float32), jnp.asarray(b, jnp.float32),
+            jnp.asarray(c, jnp.float32), tile)).reshape(-1)
+
+        px = np.arange(tile)
+        for g in range(G):
+            X, Y = np.meshgrid(tx[g] * tile + px, ty[g] * tile + px)
+            dx = X.astype(np.float64) - mx[g]
+            dy = Y.astype(np.float64) - my[g]
+            qgrid = 0.5 * a[g] * dx * dx + b[g] * dx * dy + 0.5 * c[g] * dy * dy
+            brute = qgrid.min()
+            assert qmin[g] <= brute + 1e-3 * max(1.0, abs(brute)), (g, qmin[g], brute)
