@@ -46,10 +46,14 @@ more than the whole compositing scan):
      differently, so values within rounding distance of T_EPS can flip the
      stop test),
   3. color application / color gradients as MXU matmuls over the chunk.
-HBM chunk fetches are double-buffered and the FIRST chunk of each tile is
-prefetched by the previous grid instance (sequential-grid "arbitrary"
-semantics). NC is a KB multiple, so every KB-aligned chunk DMA is in-bounds
-by construction (the round-2 advisor's partial-chunk overrun cannot occur).
+HBM chunk fetches stream through a RING-slot buffer (prefetch distance
+RING-1 — the per-chunk compute is shorter than one HBM round-trip, so plain
+double-buffering left the kernels DMA-latency-bound), the backward's
+gradient writes drain lazily through a WRING-slot ring, and the FIRST chunk
+of each tile is prefetched by the previous grid instance (sequential-grid
+"arbitrary" semantics). NC is a KB multiple, so every KB-aligned chunk DMA
+is in-bounds by construction (the round-2 advisor's partial-chunk overrun
+cannot occur).
 
 Backward math (standard 3DGS):
   C = sum_i c_i a_i T_i,  T_i = prod_{j<i}(1-a_j),  T_fin = prod_i(1-a_i)
@@ -265,13 +269,17 @@ def _read_dma(records_hbm, tbuf, sem, base, ci, slot):
     )
 
 
+RING = 4  # in-instance streaming read slots (prefetch distance 3)
+
+
 def _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf, sem, t,
                           base, n_chunks):
-    """Cross-instance pipelining of each tile's FIRST chunk: tbuf slots 0/1
-    stream within the instance; slots 2/3 (by tile parity) hold chunk 0,
-    prefetched by the PREVIOUS grid instance so the per-tile DMA stall is
-    hidden (instance 0 self-starts). Returns chunk 0's slot for this tile."""
-    my0 = 2 + jax.lax.rem(t, 2)
+    """Cross-instance pipelining of each tile's FIRST chunk: tbuf slots
+    0..RING-1 stream within the instance; slots RING/RING+1 (by tile parity)
+    hold chunk 0, prefetched by the PREVIOUS grid instance so the per-tile
+    DMA stall is hidden (instance 0 self-starts). Returns chunk 0's slot for
+    this tile."""
+    my0 = RING + jax.lax.rem(t, 2)
 
     @pl.when((t == 0) & (n_chunks > 0))
     def _():
@@ -286,9 +294,31 @@ def _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf, sem, t,
         @pl.when(nn > 0)
         def _():
             _read_dma(records_hbm, tbuf, sem, nbase, 0,
-                      2 + jax.lax.rem(t + 1, 2)).start()
+                      RING + jax.lax.rem(t + 1, 2)).start()
 
     return my0
+
+
+def _start_ring(dma, n_chunks):
+    """Pre-issue chunks 1..RING-2 of the in-instance read ring (chunk 0 is
+    handled by the cross-instance parity prefetch; the loop body keeps the
+    ring full by issuing chunk ci+RING-1 while processing chunk ci — that
+    slot, (ci-1) mod RING, was consumed in the previous iteration)."""
+    for c in range(1, RING - 1):
+        @pl.when(c < n_chunks)
+        def _(c=c):
+            dma(c, c).start()
+
+
+def _ring_step(dma, ci, n_chunks, my0):
+    """Issue the look-ahead chunk and wait for chunk ci; returns its slot."""
+    @pl.when(ci + RING - 1 < n_chunks)
+    def _():
+        dma(ci + RING - 1, jax.lax.rem(ci + RING - 1, RING)).start()
+
+    slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, RING))
+    dma(ci, slot).wait()
+    return slot
 
 
 def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
@@ -307,27 +337,22 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
+    _start_ring(dma, n_chunks)
     triS, triI = _tri_mats(KB)
 
     def chunk_body(ci, carry):
         LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [3, NPIX]
-        slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
-
-        dma(ci, slot).wait()
+        slot = _ring_step(dma, ci, n_chunks, my0)
         buf = tbuf[slot]  # [16, KB] plane-major — no transpose needed
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
         alpha, _, _, _ = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
         w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS, triI)
         colors = buf[5:8, :]  # [3, KB]
-        C = C + jax.lax.dot_general(
-            colors, w, (((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST)
+        # 3-pass hi/lo-bf16 color accumulation (vs HIGHEST's 6): the dropped
+        # lo*lo term is ~2^-16 relative, and sum(w) <= 1 bounds the absolute
+        # image error at ~1.5e-5 — invisible against the reference's f32 FMA
+        C = C + _matmul_split3(colors, w, (((1,), (1,)), ((), ())))
         return LT, done, C
 
     LT0 = jnp.zeros((NPIX, 1), jnp.float32)
@@ -342,9 +367,11 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     trans_ref[0] = _to_row(jnp.exp(LT))
 
 
-def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
-                trans_ref, dcolor_ref, dtrans_ref, dpairs_hbm, tbuf, gbuf,
-                tailbuf, sem, gsem):
+WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
+
+
+def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
+                dpairs_hbm, tbuf, gbuf, tailbuf, sem, gsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -354,10 +381,13 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
 
-    C_total = color_ref[0]  # [3, NPIX]
-    dC = dcolor_ref[0]  # [3, NPIX]
-    dCC = _to_col(jnp.sum(dC * C_total, axis=0, keepdims=True))  # [NPIX, 1]
-    dTT = _to_col(dtrans_ref[0] * trans_ref[0])  # [NPIX, 1]
+    # ONE fused per-tile input stream [8, NPIX]: rows 0:3 = dC, row 3 =
+    # S = <dC, C> + dT*T per pixel (precomputed outside in one batched XLA
+    # op; previously the kernel rebuilt both terms per instance from 4
+    # separate color/trans/dcolor/dtrans streams via two identity-matmul
+    # transposes)
+    dC = aux_ref[0, 0:3]  # [3, NPIX]
+    S = _to_col(aux_ref[0, 3:4])  # [NPIX, 1]
     basis = _moment_basis()
     triS, triI = _tri_mats(KB)
 
@@ -373,16 +403,11 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
 
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
+    _start_ring(dma, n_chunks)
 
     def chunk_body(ci, carry):
         LT, done, acc = carry  # log-T, stop latch, <dC,c_j> w_j prefix
-        slot = jnp.where(ci == 0, my0, jax.lax.rem(ci, 2))
-
-        @pl.when(ci + 1 < n_chunks)
-        def _():
-            dma(ci + 1, jax.lax.rem(ci + 1, 2)).start()
-
-        dma(ci, slot).wait()
+        slot = _ring_step(dma, ci, n_chunks, my0)
         buf = tbuf[slot]  # [16, KB] plane-major
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
@@ -398,7 +423,8 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         acc_i = acc + _matmul_scan(dbuf * w, triI)  # [NPIX, KB]
         one_minus = jnp.maximum(1.0 - alpha, 1e-6)
         # Texcl == the serial T_i on contributing lanes; masked elsewhere
-        da_all = dbuf * Texcl - (dCC - acc_i) / one_minus - dTT / one_minus
+        # (S = <dC,C> + dT*T folds the two suppression terms into one)
+        da_all = dbuf * Texcl - (S - acc_i) / one_minus
         da_all = jnp.where(contribute & (alpha > 0.0), da_all, 0.0)
         acc = acc_i[:, -1:]
 
@@ -455,14 +481,14 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         # instead of an HBM read-modify-write round trip.
         merged = jnp.where(lane < lo, tailbuf[:], gnew)
 
-        # lazy double-buffered write-back: reclaim a gbuf slot only when the
-        # write issued two chunks ago has drained (instead of stalling on
-        # every chunk's write latency)
-        gslot = jax.lax.rem(ci, 2)
+        # lazy ring write-back: reclaim a gbuf slot only when the write
+        # issued WRING chunks ago has drained (instead of stalling on every
+        # chunk's write latency)
+        gslot = jax.lax.rem(ci, WRING)
 
-        @pl.when(ci >= 2)
+        @pl.when(ci >= WRING)
         def _():
-            dma_w(ci - 2, gslot).wait()
+            dma_w(ci - WRING, gslot).wait()
 
         gbuf[gslot] = merged
         dma_w(ci, gslot).start()
@@ -483,13 +509,11 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     )
     # drain outstanding gradient writes before the next instance reads its
     # boundary chunk
-    @pl.when(n_chunks >= 2)
-    def _():
-        dma_w(n_chunks - 2, jax.lax.rem(n_chunks - 2, 2)).wait()
-
-    @pl.when(n_chunks >= 1)
-    def _():
-        dma_w(n_chunks - 1, jax.lax.rem(n_chunks - 1, 2)).wait()
+    for back in range(WRING, 0, -1):
+        @pl.when(n_chunks >= back)
+        def _(back=back):
+            dma_w(n_chunks - back,
+                  jax.lax.rem(n_chunks - back, WRING)).wait()
 
 
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
@@ -512,10 +536,11 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
-                # slots 0/1: in-instance streaming; 2/3: cross-instance
-                # first-chunk prefetch (by tile parity)
-                pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf
-                pltpu.SemaphoreType.DMA((4,)),
+                # slots 0..RING-1: in-instance streaming ring (prefetch
+                # distance RING-1); RING/RING+1: cross-instance first-chunk
+                # prefetch (by tile parity)
+                pltpu.VMEM((RING + 2, COLS, KB), jnp.float32),  # tbuf
+                pltpu.SemaphoreType.DMA((RING + 2,)),
             ],
         ),
         compiler_params=pltpu.CompilerParams(
@@ -541,6 +566,11 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
     sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     nc = records.shape[1]
+    # ONE fused per-tile aux stream [n_tiles, 8, NPIX]: rows 0:3 = dC,
+    # row 3 = S = per-pixel <dC, C> + dT*T (batched XLA; see _bwd_kernel)
+    s_row = jnp.sum(dcolor * color, axis=1, keepdims=True) + dtrans * trans
+    aux = jnp.concatenate(
+        [dcolor, s_row, jnp.zeros((n_tiles, 4, NPIX), dcolor.dtype)], axis=1)
     dpairs = pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -548,22 +578,16 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 3, NPIX), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, NPIX), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 3, NPIX), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, NPIX), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
             scratch_shapes=[
-                pltpu.VMEM((4, COLS, KB), jnp.float32),  # tbuf (stream+prefetch)
-                pltpu.VMEM((2, COLS, KB), jnp.float32),  # gbuf (lazy writes)
+                pltpu.VMEM((RING + 2, COLS, KB), jnp.float32),  # tbuf
+                pltpu.VMEM((WRING, COLS, KB), jnp.float32),  # gbuf
                 pltpu.VMEM((COLS, KB), jnp.float32),  # tailbuf (boundary carry)
-                pltpu.SemaphoreType.DMA((4,)),  # sem (reads)
-                pltpu.SemaphoreType.DMA((2,)),  # gsem (writes)
+                pltpu.SemaphoreType.DMA((RING + 2,)),  # sem (reads)
+                pltpu.SemaphoreType.DMA((WRING,)),  # gsem (writes)
             ],
         ),
         out_shape=jax.ShapeDtypeStruct((COLS, nc), jnp.float32),
@@ -571,8 +595,7 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             has_side_effects=True, dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(starts, counts, jnp.asarray([nx], jnp.int32), records, color, trans,
-      dcolor, dtrans)
+    )(starts, counts, jnp.asarray([nx], jnp.int32), records, aux)
     return dpairs
 
 
@@ -728,8 +751,12 @@ def rasterize_pallas(
         tiles_s, gidx_s = jax.lax.sort((tile_ids, gidx_all), num_keys=2)
         tiles_c, gidx_c = tiles_s[:nc], gidx_s[:nc]
 
+    # scan_unrolled: the default 'scan' lowers to a sequential while loop of
+    # ~log2(NC) dependent gather dispatches; unrolling removes the loop
+    # overhead (the queries are only [n_tiles+1])
     starts = jnp.searchsorted(
-        tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        method="scan_unrolled",
     ).astype(jnp.int32)
     counts = starts[1:] - starts[:-1]
     ends_g = jnp.cumsum(counts_g).astype(jnp.int32)  # [P] inclusive

@@ -498,7 +498,8 @@ def _bin_pairs(means2d, radii_f, vis, nx: int, ny: int, tile: int, t_max: int,
             (tile_ids, pair_gidx, iota), num_keys=2, is_stable=True
         )
     starts = jnp.searchsorted(
-        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+        sorted_tiles, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+        method="scan_unrolled",
     ).astype(jnp.int32)
     pair_rank = jnp.arange(sorted_tiles.shape[0], dtype=jnp.int32) - starts[
         jnp.minimum(sorted_tiles, n_tiles - 1)

@@ -449,6 +449,20 @@ class GSTrainer:
                     nc_pairs = effective * 2
                     print(f"[{it}] compact pairs {real} > 90% of "
                           f"{effective}: widening nc_pairs -> {nc_pairs}")
+                elif real * 3.2 < effective and effective > (1 << 18):
+                    # every per-pair glue cost (key sort slice, compact
+                    # gather, backward routing sort + cumsum) scales with the
+                    # static budget; shrink when the telemetry (an UPPER
+                    # bound on real emission) says most of it is sentinel
+                    # slack. Hysteresis: shrink only when the 1.6x-margin
+                    # budget would at least HALVE (occupancy < 31%), widen
+                    # again at >90% — each retrace must pay for itself over
+                    # the tunnel's 30s+ compile cost.
+                    from sixdgs_tpu.ops.rasterizer.pallas_tiles import KB
+
+                    nc_pairs = max(-(-int(real * 1.6) // KB) * KB, 1 << 18)
+                    print(f"[{it}] compact pairs {real} < 31% of "
+                          f"{effective}: shrinking nc_pairs -> {nc_pairs}")
             if (adapt_tiers_every and it % adapt_tiers_every == 0
                     and "binning_total_area" in metrics):
                 # adaptive binning: widen the mid tier when the static caps

@@ -249,3 +249,25 @@ class TestAdaptiveNcPairs:
                     adapt_tiers_every=2, adapt_drop_threshold=0.9)
         out = capsys.readouterr().out
         assert "widening nc_pairs -> 256" in out, out
+
+    def test_slack_compact_budget_shrinks(self, synthetic_dataset, capsys,
+                                          monkeypatch):
+        """When real emission falls below 31% of the compact budget, the
+        trainer shrinks it back toward 1.6x the real count (floored at 2^18)
+        — every per-pair glue cost scales with the static budget — and the
+        hysteresis band (shrink <31%, widen >90%) prevents oscillation."""
+        from sixdgs_tpu.ops.rasterizer import pallas_tiles
+
+        cams = synthetic_dataset
+        info = make_scene_info(cams)
+        opt_cfg = OptimizationConfig(iterations=4, densify_from_iter=100)
+        trainer = GSTrainer(ModelConfig(), opt_cfg, info, cams, [],
+                            capacity_bucket=256)
+        # inflate the default budget far past the tiny scene's real emission
+        monkeypatch.setattr(pallas_tiles, "DEFAULT_NC", 1 << 19)
+        trainer.run(iterations=4, chunk=64, rasterizer="pallas_interpret",
+                    adapt_tiers_every=2, adapt_drop_threshold=0.9)
+        out = capsys.readouterr().out
+        assert "shrinking nc_pairs -> 262144" in out, out
+        # the floor (2^18) is not itself shrinkable: exactly one shrink
+        assert out.count("shrinking nc_pairs") == 1, out

@@ -143,7 +143,12 @@ def main():
         @jax.jit
         def stage_depth(proj_means2d, conics, colors, opacities, depths, radii):
             order = jnp.argsort(jnp.where(visible, depths, jnp.inf))
-            inv = jnp.argsort(order)
+            # mirror rasterize_pallas: inverse permutation via a disjoint
+            # scatter of iota, not a second argsort
+            P_all = order.shape[0]
+            iota = jnp.arange(P_all, dtype=order.dtype)
+            inv = jnp.zeros(P_all, order.dtype).at[order].set(
+                iota, unique_indices=True, indices_are_sorted=False)
             rec = _permute(
                 jnp.concatenate([proj_means2d, conics, colors,
                                  jnp.where(visible, opacities, 0.0)[:, None]],
@@ -186,13 +191,20 @@ def main():
         @jax.jit
         def stage_layout(tiles_c, counts_g):
             starts = jnp.searchsorted(
-                tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32)
+                tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+                method="scan_unrolled",
             ).astype(jnp.int32)
             return starts, starts[1:] - starts[:-1], jnp.cumsum(counts_g).astype(jnp.int32)
 
         starts, counts, ends_g = jax.block_until_ready(
             stage_layout(tiles_c, counts_g))
         print(f"pglue searchsorted+cumsum: {timeit(stage_layout, tiles_c, counts_g):8.2f} ms")
+
+        ss_only = jax.jit(lambda tc: jnp.searchsorted(
+            tc, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+            method="scan_unrolled").astype(jnp.int32))
+        jax.block_until_ready(ss_only(tiles_c))
+        print(f"pglue   - searchsorted alone: {timeit(ss_only, tiles_c):8.2f} ms")
 
         @jax.jit
         def stage_gather(rec, gidx_c):
