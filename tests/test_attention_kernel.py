@@ -150,6 +150,7 @@ class TestFusedAttentionVJP:
         chex.assert_trees_all_close(gf, gr, atol=2e-5, rtol=1e-3)
 
 
+
 @pytest.mark.tpu_hw
 class TestFusedAttentionHW:
     """Compiled (non-interpret) kernels on the real chip."""
@@ -203,3 +204,33 @@ class TestFusedAttentionHW:
                     # are exactly invariant to bk), just bound it loosely
                     tol, denom = 1.0, gscale
                 assert np.abs(a - b).max() <= tol * denom, (mode, name)
+
+    def test_trained_path_does_not_materialize_logits(self):
+        """Structural memory check on the DIFFERENTIABLE fused path at the
+        Mip-360 stress ray count: the TPU executable's temp allocation must
+        stay far below one full [P, N] logits matrix (the reference
+        materializes it, our_multihead_attention.py:6-11; the streaming
+        custom-VJP kernel keeps block-sized temps only). Runs on hardware:
+        the CPU interpreter copies whole operands per pallas_call, so its
+        memory_analysis does not reflect the kernel."""
+        P, d, N, block = 256, 384, 131072, 8192
+        rng = np.random.default_rng(11)
+        q = jnp.asarray(rng.normal(size=(P, d)).astype(np.float32))
+        feats = jnp.asarray(rng.normal(size=(N, d)).astype(np.float32))
+        wk = jnp.asarray(rng.normal(size=(d, d)).astype(np.float32) * 0.05)
+        bk = jnp.zeros(d, jnp.float32)
+        pmask = jnp.ones(P, jnp.float32)
+        valid = jnp.ones(N, jnp.float32)
+        g = jnp.asarray(rng.normal(size=N).astype(np.float32))
+
+        def loss(q, feats, wk, bk):
+            s = attention_scores_fused(q, feats, wk, bk, pmask, valid,
+                                       block=block, mode="f32")
+            return jnp.sum(s * g)
+
+        lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
+            q, feats, wk, bk)
+        mem = lowered.compile().memory_analysis()
+        full_logits = P * N * 4  # 134 MB
+        assert mem.temp_size_in_bytes < 0.5 * full_logits, (
+            f"temp {mem.temp_size_in_bytes} vs logits {full_logits}")
