@@ -135,7 +135,8 @@ def main(argv=None):
         writer.scalar("iter_time", (now - last_t[0]) / args.log_every * 1000, it)
         writer.scalar("total_points", int(tr.state.scene.num_active()), it)
         for k in ("binning_dropped_main", "binning_dropped_mid",
-                  "binning_dropped_big", "binning_overflow_spill"):
+                  "binning_dropped_big", "binning_overflow_spill",
+                  "binning_total_area", "binning_real_pairs"):
             if k in metrics:
                 writer.scalar(k, int(metrics[k]), it)
         last_t[0] = now

@@ -189,20 +189,49 @@ def main(argv=None):
         ckpt_flags = ["--checkpoint_iterations"] + [str(i) for i in iters]
     if resume_ckpt is not None:
         ckpt_flags += ["--start_checkpoint", resume_ckpt]
+    import contextlib
+    import io
+    import sys
     import time as _time
+
+    class _Tee(io.TextIOBase):
+        """Pass stdout through while keeping a copy (widening-event count
+        for the run artifact — VERDICT r2 #6 asks for tier-widening counts
+        and truncation telemetry in the recorded quality run)."""
+
+        def __init__(self, base):
+            self.base = base
+            self.buf = []
+
+        def write(self, s):
+            self.base.write(s)
+            self.buf.append(s)
+            return len(s)
+
+        def flush(self):
+            self.base.flush()
+
+    tee = _Tee(sys.stdout)
     t_train0 = _time.time()
-    train_gs.main(ckpt_flags + [
-        "--source_path", root,
-        "--model_path", model_path,
-        "--eval",
-        "--iterations", str(args.iterations),
-        "--test_iterations", str(args.iterations),
-        "--save_iterations", str(args.iterations),
-        "--rasterizer", args.rasterizer,
-        "--chunk", str(args.chunk),
-        "--quiet",
-    ] + (args.extra_train_args.split() if args.extra_train_args else []))
+    with contextlib.redirect_stdout(tee):
+        train_gs.main(ckpt_flags + [
+            "--source_path", root,
+            "--model_path", model_path,
+            "--eval",
+            "--iterations", str(args.iterations),
+            "--test_iterations", str(args.iterations),
+            "--save_iterations", str(args.iterations),
+            "--rasterizer", args.rasterizer,
+            "--chunk", str(args.chunk),
+            "--quiet",
+        ] + (args.extra_train_args.split() if args.extra_train_args else []))
     train_wall_s = _time.time() - t_train0
+    captured = "".join(tee.buf)
+    adapt_events = {
+        "tier_widenings": captured.count("widening tiers"),
+        "budget_widenings": captured.count("widening nc_pairs"),
+        "budget_shrinks": captured.count("shrinking nc_pairs"),
+    }
     render_app.main(["--model_path", model_path,
                      "--iteration", str(args.iterations),
                      "--chunk", str(args.chunk)])
@@ -220,7 +249,28 @@ def main(argv=None):
         "rasterizer": args.rasterizer,
         "train_wall_s": round(train_wall_s, 1),
         "init_points": int(pts.shape[0]),
+        **adapt_events,
     }
+    # truncation telemetry over the run (logged to metrics.jsonl by the
+    # train_gs callback every log_every iterations)
+    try:
+        dropped, area = {}, {}
+        with open(os.path.join(model_path, "metrics.jsonl")) as fh:
+            for line in fh:
+                rec = json.loads(line)
+                tag, step = rec.get("tag", ""), rec.get("step", 0)
+                if tag.startswith("binning_dropped_"):
+                    dropped[step] = dropped.get(step, 0) + rec["value"]
+                elif tag == "binning_total_area":
+                    area[step] = rec["value"]
+        ratios = {s: dropped[s] / max(area[s], 1.0)
+                  for s in dropped if s in area}
+        if ratios:
+            out["trunc_ratio_max"] = round(max(ratios.values()), 4)
+            out["trunc_ratio_final"] = round(
+                ratios[max(ratios.keys())], 4)
+    except (OSError, json.JSONDecodeError):
+        pass
     # final active gaussian count from the saved PLY
     try:
         from sixdgs_tpu.scene.ply_io import load_gaussian_ply
