@@ -38,6 +38,15 @@ def build_parser():
     parser.add_argument("--checkpoint_iterations", nargs="+", type=int, default=[])
     parser.add_argument("--start_checkpoint", type=str, default=None)
     parser.add_argument("--quiet", action="store_true")
+    parser.add_argument(
+        "--detect_anomaly", action="store_true", default=False,
+        help="enable jax_debug_nans (the TPU analogue of the reference's "
+        "torch.autograd.set_detect_anomaly, train.py:310,330): any NaN "
+        "produced under jit raises with a traceback to the offending op")
+    parser.add_argument(
+        "--debug_from", type=int, default=-1,
+        help="iteration from which to enable jax_debug_nans (analogue of "
+        "the reference's pipe.debug arming at debug_from, train.py:106-107)")
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--chunk", type=int, default=256)
     parser.add_argument("--log_every", type=int, default=50)
@@ -152,6 +161,18 @@ def main(argv=None):
             print(f"\n[ITER {it}] Evaluating test: L1 {l1_val} PSNR {psnr_val}")
 
     pre_step = None
+    if args.detect_anomaly:
+        import jax
+
+        jax.config.update("jax_debug_nans", True)
+    if args.debug_from >= 0:
+        import jax
+
+        def pre_step(it, tr, _debug_from=args.debug_from):
+            # arm like the reference's pipe.debug (train.py:106-107)
+            if it - 1 == _debug_from:
+                jax.config.update("jax_debug_nans", True)
+
     if args.gui:
         import numpy as _np
 
@@ -160,8 +181,11 @@ def main(argv=None):
 
         gui = NetworkGUI(args.ip, args.port)
         source_abs = os.path.abspath(model_cfg.source_path)
+        _prev_pre_step = pre_step
 
         def pre_step(it, tr):
+            if _prev_pre_step is not None:
+                _prev_pre_step(it, tr)
             # drain viewer messages like train.py:59-90
             gui.try_connect()
             while gui.conn is not None:

@@ -85,3 +85,39 @@ def test_quality_workflow_tool(tmp_path):
     assert out["metric"] == "quality_workflow_psnr"
     assert np.isfinite(out["value"]) and out["value"] > 0
     assert 0 <= out["ssim"] <= 1
+
+
+def test_detect_anomaly_flag(tmp_path):
+    """--detect_anomaly maps to jax_debug_nans (the reference's
+    torch.autograd.set_detect_anomaly analogue, train.py:310,330): a healthy
+    2-iteration run must complete without a spurious NaN raise, and the
+    config must actually be armed during the run."""
+    import jax
+
+    root = str(tmp_path / "scene")
+    os.makedirs(root)
+    make_blender_dataset(root, n_train=2, n_test=1, size=24)
+    from sixdgs_tpu.scene.ply_io import store_point_cloud_ply
+
+    rng = np.random.default_rng(1)
+    store_point_cloud_ply(
+        os.path.join(root, "points3d.ply"),
+        rng.normal(size=(100, 3)),
+        rng.integers(0, 255, size=(100, 3)),
+    )
+    try:
+        train_gs.main([
+            "--source_path", root,
+            "--model_path", str(tmp_path / "out"),
+            "--iterations", "2",
+            "--densify_from_iter", "100",
+            "--test_iterations", "2",
+            "--save_iterations", "2",
+            "--quiet",
+            "--chunk", "64",
+            "--capacity_bucket", "256",
+            "--detect_anomaly",
+        ])
+        assert jax.config.jax_debug_nans
+    finally:
+        jax.config.update("jax_debug_nans", False)
