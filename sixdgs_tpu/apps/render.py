@@ -60,9 +60,12 @@ def main(argv=None):
     parser.add_argument("--skip_train", action="store_true")
     parser.add_argument("--skip_test", action="store_true")
     parser.add_argument("--chunk", type=int, default=256)
+    parser.add_argument("--quiet", action="store_true")
     args = parser.parse_args(argv)
 
     cfg = dotdict(read_cfg_args(args.model_path))
+    if not args.quiet:
+        print(f"Rendering {args.model_path}")
     iteration = find_iteration(args.model_path, args.iteration)
     ply = os.path.join(
         args.model_path, "point_cloud", f"iteration_{iteration}", "point_cloud.ply"
