@@ -33,6 +33,24 @@ class TestPallasForward:
         img = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=64, interpret=True))
         np.testing.assert_allclose(img, ref, atol=3e-5)
 
+    def test_deep_segments_exceed_read_ring(self):
+        """Per-tile segments much deeper than the RING-slot DMA streaming
+        buffer (and the WRING write ring in the backward): with ~900
+        low-opacity gaussians piled into a 32x32 area, tiles carry 6+
+        KB-chunks, exercising ring wrap-around, the pre-issued chunks, and
+        boundary-chunk carries past the prefetch distance."""
+        from sixdgs_tpu.ops.rasterizer.pallas_tiles import KB, RING
+
+        proj, W, H = random_proj(n=900, width=32, height=32, spread=0.12,
+                                 seed=7)
+        # lower opacity so early-stop doesn't hide the deep lanes
+        proj = proj._replace(opacities=proj.opacities * 0.12)
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        ref = np.asarray(rasterize_brute(proj, W, H, bg))
+        img = np.asarray(
+            rasterize_pallas(proj, W, H, bg, t_max=16, interpret=True))
+        np.testing.assert_allclose(img, ref, atol=3e-5)
+
     def test_non_multiple_of_tile(self):
         proj, W, H = random_proj(n=80, width=50, height=35, seed=2)
         bg = jnp.ones(3)
