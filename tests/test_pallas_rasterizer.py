@@ -39,8 +39,6 @@ class TestPallasForward:
         low-opacity gaussians piled into a 32x32 area, tiles carry 6+
         KB-chunks, exercising ring wrap-around, the pre-issued chunks, and
         boundary-chunk carries past the prefetch distance."""
-        from sixdgs_tpu.ops.rasterizer.pallas_tiles import KB, RING
-
         proj, W, H = random_proj(n=900, width=32, height=32, spread=0.12,
                                  seed=7)
         # lower opacity so early-stop doesn't hide the deep lanes
@@ -99,6 +97,48 @@ class TestPallasBackward:
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-3, err_msg=name
             )
+
+    def test_gradients_deep_segments(self):
+        """Backward ring coverage: segments 6+ chunks deep drive the WRING
+        lazy write ring past wrap-around and chain the tailbuf boundary
+        carry across many KB chunks (low opacity keeps deep lanes
+        contributing, so their gradients are nonzero)."""
+        rng = np.random.default_rng(8)
+        W = H = 32
+        cam = make_synthetic_camera(W, H, 0.9, 0.9, np.eye(3), np.zeros(3))
+        n = 900
+        means = (rng.normal(size=(n, 3)) * 0.12 + [0, 0, 5]).astype(np.float32)
+        scales = np.exp(rng.normal(size=(n, 3)) * 0.4 - 1.8).astype(np.float32)
+        quats = rng.normal(size=(n, 4)).astype(np.float32)
+        opac_v = rng.uniform(0.02, 0.12, size=n).astype(np.float32)
+        colors_v = rng.uniform(size=(n, 3)).astype(np.float32)
+        target = jnp.asarray(rng.uniform(size=(3, H, W)).astype(np.float32))
+
+        def loss(params, renderer):
+            means_, opac_, colors_ = params
+            proj = project_gaussians(
+                means_,
+                build_covariance(jnp.asarray(scales), jnp.asarray(quats)),
+                opac_,
+                jnp.asarray(cam.view), jnp.asarray(cam.full_proj),
+                jnp.asarray(cam.camera_center),
+                W, H, math.tan(0.45), math.tan(0.45),
+                colors_precomp=colors_,
+            )
+            return jnp.mean(jnp.square(renderer(proj) - target))
+
+        params = (jnp.asarray(means), jnp.asarray(opac_v), jnp.asarray(colors_v))
+        g_ref = jax.grad(
+            lambda p: loss(p, lambda pr: rasterize_brute(pr, W, H, jnp.zeros(3)))
+        )(params)
+        g_pal = jax.grad(
+            lambda p: loss(p, lambda pr: rasterize_pallas(
+                pr, W, H, jnp.zeros(3), t_max=16, interpret=True))
+        )(params)
+        for a, b, name in zip(g_pal, g_ref, ["means", "opac", "colors"]):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b), atol=5e-5, rtol=2e-3,
+                err_msg=name)
 
     def test_gradients_dense_early_stop(self):
         """Early-termination path: near-opaque stacked gaussians."""
