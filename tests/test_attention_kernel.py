@@ -230,7 +230,12 @@ class TestFusedAttentionHW:
 
         lowered = jax.jit(jax.grad(loss, argnums=(0, 1, 2, 3))).lower(
             q, feats, wk, bk)
-        mem = lowered.compile().memory_analysis()
+        try:
+            mem = lowered.compile().memory_analysis()
+        except Exception as e:  # tunneled-backend executables may not expose it
+            pytest.skip(f"memory_analysis unavailable: {e}")
+        if mem is None:
+            pytest.skip("memory_analysis returned None on this backend")
         full_logits = P * N * 4  # 134 MB
         assert mem.temp_size_in_bytes < 0.5 * full_logits, (
             f"temp {mem.temp_size_in_bytes} vs logits {full_logits}")
