@@ -1,0 +1,77 @@
+"""Separate per-instance overhead from per-chunk compute in the compositing
+kernels.
+
+Builds synthetic compact records with n_tiles uniform segments of depth D
+KB-chunks each, holding TOTAL pairs constant while sweeping D. If ms(D) is
+flat, cost is per-chunk (VPU/MXU compute bound); if ms falls steeply with D,
+per-instance overheads (first-chunk DMA stall, end-of-instance write drain,
+grid dispatch) dominate and multi-tile grid instances would pay.
+
+Run on the real TPU: PYTHONPATH=/root/.axon_site:. python
+tools/profile_kernel_shape.py
+"""
+
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from sixdgs_tpu.ops.rasterizer.pallas_tiles import (
+    KB, NPIX, pallas_composite_fwd, pallas_composite_bwd)
+
+
+def timeit(fn, *args, n=20, warmup=3):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(n):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / n * 1e3
+
+
+def synthetic(n_tiles, depth_chunks, seed=0):
+    """Records whose every tile segment is exactly depth_chunks KB-chunks."""
+    rng = np.random.default_rng(seed)
+    seg = depth_chunks * KB
+    nc = n_tiles * seg
+    rec = np.zeros((16, nc), np.float32)
+    rec[0] = rng.uniform(0, 16, nc)   # mean x (tile-local scale)
+    rec[1] = rng.uniform(0, 16, nc)   # mean y
+    rec[2] = rng.uniform(0.05, 0.3, nc)  # conic A
+    rec[3] = rng.uniform(-0.02, 0.02, nc)
+    rec[4] = rng.uniform(0.05, 0.3, nc)
+    rec[5:8] = rng.uniform(0, 1, (3, nc))
+    rec[8] = rng.uniform(0.01, 0.1, nc)  # low opacity: no early stop
+    starts = (np.arange(n_tiles) * seg).astype(np.int32)
+    counts = np.full(n_tiles, seg, np.int32)
+    return (jnp.asarray(rec), jnp.asarray(starts), jnp.asarray(counts))
+
+
+def main():
+    total_chunks = 4096  # constant work: n_tiles * depth = 4096 chunks
+    nx = 64
+    for depth in (1, 2, 4, 8, 16):
+        n_tiles = total_chunks // depth
+        ny = n_tiles // nx
+        rec, starts, counts = synthetic(nx * ny, depth)
+        fwd = jax.jit(lambda r, s, c, _nx=nx, _ny=ny: pallas_composite_fwd(
+            r, s, c, _nx, _ny))
+        color, trans = fwd(rec, starts, counts)
+        t_f = timeit(fwd, rec, starts, counts)
+        dcol = jnp.ones_like(color)
+        dtr = jnp.ones_like(trans)
+        bwd = jax.jit(lambda r, s, c, co, tr, dc, dt, _nx=nx, _ny=ny:
+                      pallas_composite_bwd(r, s, c, _nx, _ny, co, tr, dc, dt))
+        t_b = timeit(bwd, rec, starts, counts, color, trans, dcol, dtr)
+        n_inst = nx * ny
+        print(f"depth {depth:2d} chunks x {n_inst:4d} tiles "
+              f"({total_chunks} chunks total): fwd {t_f:7.2f} ms  "
+              f"bwd {t_b:7.2f} ms  "
+              f"(per-chunk fwd {t_f / total_chunks * 1e3:6.2f} us)",
+              flush=True)
+
+
+if __name__ == "__main__":
+    main()
