@@ -209,6 +209,35 @@ class TestPallasHardware:
         np.testing.assert_allclose(np.asarray(g_hw), np.asarray(g_it),
                                    atol=1e-4, rtol=5e-3)
 
+    def test_deep_segments_on_chip(self):
+        """The RING read-streaming / WRING lazy-write rings on real Mosaic:
+        segments 6+ KB-chunks deep (fwd image + backward color gradients vs
+        the interpreter, which the CPU suite has already validated against
+        the brute model)."""
+        assert jax.default_backend() in ("tpu", "axon")
+        proj, W, H = random_proj(n=900, width=32, height=32, spread=0.12,
+                                 seed=7)
+        proj = proj._replace(opacities=proj.opacities * 0.12)
+        bg = jnp.asarray([0.2, 0.3, 0.4])
+        img_hw = np.asarray(jax.jit(
+            lambda p: rasterize_pallas(p, W, H, bg, t_max=16))(proj))
+        img_it = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=16,
+                                             interpret=True))
+        np.testing.assert_allclose(img_hw, img_it, atol=1e-4)
+
+        tgt = jnp.asarray(np.random.default_rng(9).uniform(
+            size=(3, H, W)).astype(np.float32))
+
+        def loss(colors, interpret):
+            p = proj._replace(colors=colors)
+            img = rasterize_pallas(p, W, H, bg, t_max=16, interpret=interpret)
+            return jnp.mean(jnp.square(img - tgt))
+
+        g_hw = jax.jit(jax.grad(lambda c: loss(c, False)))(proj.colors)
+        g_it = jax.grad(lambda c: loss(c, True))(proj.colors)
+        np.testing.assert_allclose(np.asarray(g_hw), np.asarray(g_it),
+                                   atol=1e-4, rtol=5e-3)
+
 
 class TestEdgeCases:
     @pytest.mark.parametrize("case", ["empty", "all_culled", "single"])
