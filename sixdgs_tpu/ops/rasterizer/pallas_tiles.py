@@ -656,8 +656,11 @@ def _gather_pairs_bwd(res, d):
     # sentinel slots (>= v_real) carry a REAL gaussian index in the key low
     # bits; rebucket them past every segment so boundaries stay aligned
     gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
-    out = jax.lax.sort((gkey,) + tuple(d[c] for c in range(r)), num_keys=1)
-    cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)  # [NC, 9]
+    # permutation sort + ONE row gather instead of dragging the 9 f32
+    # payload planes through every merge pass (tools/profile_routing.py:
+    # identical output, the sort touches 1/5 the bytes)
+    _, perm = jax.lax.sort((gkey, rows), num_keys=1)
+    cum = jnp.cumsum(d.T[perm], axis=0)  # [NC, 9]
     cum0 = jnp.concatenate([jnp.zeros((1, r), cum.dtype), cum], axis=0)
     hi = cum0[jnp.minimum(ends_g, nc)]
     lo = cum0[jnp.minimum(ends_g - counts_g, nc)]
