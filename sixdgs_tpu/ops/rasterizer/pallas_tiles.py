@@ -35,8 +35,8 @@ more than the whole compositing scan):
   2. ONE log-domain lane-prefix scan of log(1-a) — a 2-pass hi/lo-bf16
      triangular MXU matmul — gives the plain transmittance; the CUDA stop
      test Tplain*(1-a) < 1e-4 is MONOTONE (once true it stays true, since
-     every later plain product <= the violating one), so the serial
-     done-latch is cumsum(stop) > 0 — one exact 0/1 triangular matmul.
+     every later plain product <= the violating one), so the done latch is
+     the direct per-lane test — no cumsum matmul.
      Before the first stop the plain and serial transmittances coincide, so
      the contributing weights are w_i = a_i * Texcl_i * contribute_i and
      the serial log-carry is the inclusive prefix at the last contributing
@@ -142,63 +142,36 @@ def _matmul_split3(a, b, dn=_DN_NT):
             + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
 
 
-def _composite_chunk(alpha, LT, done, triS, triI):
+def _composite_chunk(alpha, LT, done, triS):
     """Parallel replay of the sequential front-to-back compositing over one
     [NPIX, KB] alpha chunk (pixels in sublanes, pairs in lanes) given carries
     LT (LOG serial transmittance) and done (early-stop latch), [NPIX, 1].
 
     The cumprod runs in log domain on the MXU: one_minus >= 1-ALPHA_MAX so
     log is well-conditioned; masked lanes contribute log(1) = 0. The CUDA
-    stop test Tplain*(1-a) < T_EPS is monotone in the pair index, so the
-    serial done latch is cumsum(stop) > 0 (one exact 0/1 tri matmul);
-    ``contribute`` is a per-pixel PREFIX mask along lanes, so the new done
-    latch is the negation of its last lane, and the serial carry is the
-    INCLUSIVE log prefix at the last contributing lane — the prefix is
-    non-increasing (every l <= 0), so that's a masked lane-min of values the
-    scan already produced (no extra MXU pass).
+    stop test Tplain*(1-a) < T_EPS is MONOTONE in the pair index (the tested
+    product equals the next lane's transmittance, and Texcl is
+    non-increasing), so no cumsum latch is needed within the chunk: a lane
+    contributes iff its OWN test passes and no earlier chunk stopped.
+    (Rounding of the tree-reordered prefix can flip the test within ~1 ulp
+    of T_EPS vs the serial replay — the same caveat as the reordered f32
+    products, see module docstring; an earlier revision burned one [KB, KB]
+    MXU pass per chunk on an exact 0/1 cumsum latch for those sub-rounding
+    cases.) The serial carry is the INCLUSIVE log prefix at the last
+    contributing lane — the prefix is non-increasing (every l <= 0), so
+    that's a masked lane-min of values the scan already produced.
     Returns (w, Texcl, contribute, new_T, new_done)."""
     one_minus = 1.0 - alpha
     l = jnp.log(one_minus)  # 0.0 on masked lanes (alpha == 0)
     logT = LT + _matmul_scan(l, triS)  # exclusive log prefix
     Texcl = jnp.exp(logT)  # serial transmittance
-    # (valid while no stop has fired; lanes past a stop are masked below)
-    stopf = ((Texcl * one_minus < T_EPS) | (done > 0.5)).astype(jnp.bfloat16)
-    contribute = jax.lax.dot_general(
-        stopf, triI, _DN_NT, preferred_element_type=jnp.float32) < 0.5
-    w = alpha * Texcl * jnp.where(contribute, 1.0, 0.0)
+    contribute = (Texcl * one_minus >= T_EPS) & (done < 0.5)
+    w = jnp.where(contribute, alpha * Texcl, 0.0)
     incl = jnp.where(contribute, logT + l, jnp.inf)
     m = jnp.min(incl, axis=1, keepdims=True)
     new_LT = jnp.where(jnp.isinf(m), LT, m)  # no contributing lane -> keep
     new_done = jnp.where(contribute[:, -1:], done, 1.0)
     return w, Texcl, contribute, new_LT, new_done
-
-
-def _to_row(col):
-    """[N, 1] -> [1, N] via an MXU identity matmul (lax.transpose of narrow
-    tiles doesn't lower; the identity is bf16-exact so HIGHEST splits only
-    the data operand)."""
-    n = col.shape[0]
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ident = (i == j).astype(jnp.float32)
-    return jax.lax.dot_general(
-        col, ident, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-
-
-def _to_col(row):
-    """[1, N] -> [N, 1] via an MXU identity matmul."""
-    n = row.shape[1]
-    i = jax.lax.broadcasted_iota(jnp.int32, (n, n), 0)
-    j = jax.lax.broadcasted_iota(jnp.int32, (n, n), 1)
-    ident = (i == j).astype(jnp.float32)
-    return jax.lax.dot_general(
-        ident, row, dimension_numbers=(((1,), (1,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=jax.lax.Precision.HIGHEST,
-    )
 
 
 def _pixel_cols():
@@ -338,7 +311,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
                                 sem, t, base, n_chunks)
     _start_ring(dma, n_chunks)
-    triS, triI = _tri_mats(KB)
+    triS, _ = _tri_mats(KB)
 
     def chunk_body(ci, carry):
         LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [3, NPIX]
@@ -347,7 +320,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
         alpha, _, _, _ = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
-        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS, triI)
+        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS)
         colors = buf[5:8, :]  # [3, KB]
         # 3-pass hi/lo-bf16 color accumulation (vs HIGHEST's 6): the dropped
         # lo*lo term is ~2^-16 relative, and sum(w) <= 1 bounds the absolute
@@ -364,7 +337,9 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         (0, (LT0, D0, C0)),
     )
     color_ref[0] = C
-    trans_ref[0] = _to_row(jnp.exp(LT))
+    # trans stays pixels-in-sublanes [NPIX, 1] — an earlier revision paid a
+    # per-instance [NPIX, NPIX] identity matmul to emit a [1, NPIX] row
+    trans_ref[0] = jnp.exp(LT)
 
 
 WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
@@ -381,13 +356,14 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
 
-    # ONE fused per-tile input stream [8, NPIX]: rows 0:3 = dC, row 3 =
-    # S = <dC, C> + dT*T per pixel (precomputed outside in one batched XLA
-    # op; previously the kernel rebuilt both terms per instance from 4
-    # separate color/trans/dcolor/dtrans streams via two identity-matmul
-    # transposes)
-    dC = aux_ref[0, 0:3]  # [3, NPIX]
-    S = _to_col(aux_ref[0, 3:4])  # [NPIX, 1]
+    # ONE fused per-tile input stream [NPIX, 8] (PIXELS IN SUBLANES, matching
+    # the kernel's compute frame): cols 0:3 = dC, col 3 = S = <dC, C> + dT*T
+    # per pixel (precomputed outside in one batched XLA op). Having dC as
+    # [NPIX, 1] columns makes dbuf a pure-VPU broadcast sum (an earlier
+    # revision burned 3 MXU passes on a K=3 matmul plus an identity-matmul
+    # transpose for S)
+    dC_cols = aux_ref[0, :, 0:3]  # [NPIX, 3]
+    S = aux_ref[0, :, 3:4]  # [NPIX, 1]
     basis = _moment_basis()
     triS, triI = _tri_mats(KB)
 
@@ -413,11 +389,14 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
         hi = lead + count - ci * KB
         alpha, g_raw, live, opac = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
         colors = buf[5:8, :]  # [3, KB]
-        dbuf = _matmul_split3(dC, colors, (((0,), (0,)), ((), ())))
-        # [NPIX, KB]
+        # dbuf[px, k] = <dC[px], colors[k]>: 3 VPU broadcast FMAs of
+        # [NPIX, 1] x [1, KB] (no MXU)
+        dbuf = (dC_cols[:, 0:1] * colors[0:1, :]
+                + dC_cols[:, 1:2] * colors[1:2, :]
+                + dC_cols[:, 2:3] * colors[2:3, :])  # [NPIX, KB]
 
         w, Texcl, contribute, LT, done = _composite_chunk(
-            alpha, LT, done, triS, triI)
+            alpha, LT, done, triS)
         # inclusive prefix of <dC, c_j> w_j, replayed in parallel (2-pass
         # bf16-split MXU scan: ~2^-16 relative, ample for a gradient prefix)
         acc_i = acc + _matmul_scan(dbuf * w, triI)  # [NPIX, KB]
@@ -466,7 +445,8 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
         dconC = -0.5 * opac * (m02 - 2.0 * ys * m01 + ys * ys * m00)
         dmx = opac * (conA * cx + conB * cy)
         dmy = opac * (conC * cy + conB * cx)
-        dcol = _matmul_split3(dC, w, (((1,), (0,)), ((), ())))  # [3, KB]
+        dcol = _matmul_split3(
+            dC_cols, w, (((0,), (0,)), ((), ())))  # [3, KB]
 
         gnew = jnp.concatenate(
             [dmx, dmy, dconA, dconB, dconC, dcol, m00,
@@ -521,7 +501,9 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                          interpret: bool = False):
     """records: [16, NC] sorted compact pair record planes (9 live rows;
     NC a KB multiple); starts [n_tiles+1]; counts [n_tiles].
-    Returns (color [n_tiles,3,256], trans [n_tiles,1,256])."""
+    Returns (color [n_tiles,3,256], trans [n_tiles,256,1] — trans keeps the
+    kernel's pixels-in-sublanes frame; the size-1 axis swap back to a
+    [n_tiles,1,256] row is a free reshape for the caller)."""
     n_tiles = nx * ny
     color, trans = pl.pallas_call(
         _fwd_kernel,
@@ -532,7 +514,7 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
             out_specs=(
                 pl.BlockSpec((1, 3, NPIX), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, 1, NPIX), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ),
             scratch_shapes=[
@@ -550,7 +532,7 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
         ),
         out_shape=(
             jax.ShapeDtypeStruct((n_tiles, 3, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, 1, NPIX), jnp.float32),
+            jax.ShapeDtypeStruct((n_tiles, NPIX, 1), jnp.float32),
         ),
         interpret=interpret,
     )(starts, counts, jnp.asarray([nx], jnp.int32), records)
@@ -566,11 +548,14 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
     sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     nc = records.shape[1]
-    # ONE fused per-tile aux stream [n_tiles, 8, NPIX]: rows 0:3 = dC,
-    # row 3 = S = per-pixel <dC, C> + dT*T (batched XLA; see _bwd_kernel)
-    s_row = jnp.sum(dcolor * color, axis=1, keepdims=True) + dtrans * trans
+    # ONE fused per-tile aux stream [n_tiles, NPIX, 8] (pixels in sublanes):
+    # cols 0:3 = dC, col 3 = S = per-pixel <dC, C> + dT*T (batched XLA; see
+    # _bwd_kernel). trans/dtrans arrive as [n_tiles, NPIX, 1].
+    s_col = (jnp.sum(dcolor * color, axis=1)[..., None]
+             + dtrans * trans)  # [n_tiles, NPIX, 1]
     aux = jnp.concatenate(
-        [dcolor, s_row, jnp.zeros((n_tiles, 4, NPIX), dcolor.dtype)], axis=1)
+        [jnp.swapaxes(dcolor, 1, 2), s_col,
+         jnp.zeros((n_tiles, NPIX, 4), dcolor.dtype)], axis=2)
     dpairs = pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -578,7 +563,7 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, 8, NPIX), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, NPIX, 8), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -656,11 +641,15 @@ def _gather_pairs_bwd(res, d):
     # sentinel slots (>= v_real) carry a REAL gaussian index in the key low
     # bits; rebucket them past every segment so boundaries stay aligned
     gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
-    # permutation sort + ONE row gather instead of dragging the 9 f32
-    # payload planes through every merge pass (tools/profile_routing.py:
-    # identical output, the sort touches 1/5 the bytes)
-    _, perm = jax.lax.sort((gkey, rows), num_keys=1)
-    cum = jnp.cumsum(d.T[perm], axis=0)  # [NC, 9]
+    # payload sort: drag the 9 f32 planes through the merge passes. The
+    # round-3 "permutation sort + one row gather" variant measured 2.8x
+    # faster under a broken timing harness and 3.3x SLOWER under honest
+    # chained timing (tools/profile_glue4.py: 9.1 vs 30.4 ms — a random row
+    # gather from a [NC, 9] HBM table costs ~20 ms; TPU gathers serialize,
+    # so keeping the planes as sort payloads is the right trade at this
+    # table size)
+    out = jax.lax.sort((gkey,) + tuple(d[c] for c in range(r)), num_keys=1)
+    cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)  # [NC, 9]
     cum0 = jnp.concatenate([jnp.zeros((1, r), cum.dtype), cum], axis=0)
     hi = cum0[jnp.minimum(ends_g, nc)]
     lo = cum0[jnp.minimum(ends_g - counts_g, nc)]
@@ -770,7 +759,8 @@ def rasterize_pallas(
     )  # [16, NC]; the concat VJP is a row slice
 
     color, trans = _composite(records_t, starts, counts, nx, ny, interpret)
-    out_tiles = color + trans * bg_color[None, :, None]  # [n_tiles, 3, 256]
+    trans_row = jnp.swapaxes(trans, 1, 2)  # size-1 swap: free reshape
+    out_tiles = color + trans_row * bg_color[None, :, None]  # [nt, 3, 256]
     img = out_tiles.reshape(ny, nx, 3, TILE, TILE)
     img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * TILE, nx * TILE)
     return img[:, :height, :width]

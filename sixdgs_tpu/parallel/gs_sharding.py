@@ -65,7 +65,7 @@ def make_sharded_gs_step(
     sh_degree: int,
     chunk: int = 256,
     lambda_dssim: float = 0.2,
-    rasterizer: str = "tiled",
+    rasterizer: str = "auto",
     tiers: tuple = DEFAULT_TIERS,
     nc_pairs: int = 0,
 ):

@@ -84,9 +84,44 @@ def init_train_state(scene: GaussianScene) -> GSTrainState:
 # binning_* saturation telemetry in the train metrics
 DEFAULT_TIERS = (16, 4096, 64, 256, 1024)
 
+# widening caps: (t_max, mid_k, t_max_mid, overflow_k, t_max_big)
+_TIER_CAPS = (128, 16384, 256, 1024, 4096)
+
+
+def widen_tiers(tiers, dropped_main, dropped_mid, dropped_big):
+    """Pick the next tier widening from per-tier truncation telemetry.
+
+    Returns the widened 5-tuple, or None if every truncating tier is at its
+    cap. Targets the tier that actually DROPPED the most area — the round-3
+    policy only ever widened the mid tier, so a main- or giant-tier-starved
+    scene plateaued at ~20% truncation with the mid tier maxed out (observed
+    in the round-4 at-scale run). The CUDA reference's binning is uncapped
+    (it sizes buffers from the exact emitted count per frame); widening
+    converges to it one retrace at a time."""
+    t_max, mid_k, t_max_mid, ov_k, t_big = tiers
+    by_drop = sorted(
+        (("main", dropped_main), ("mid", dropped_mid), ("big", dropped_big)),
+        key=lambda kv: -kv[1])
+    for name, dropped in by_drop:
+        if dropped <= 0:
+            continue
+        if name == "main" and t_max < _TIER_CAPS[0]:
+            return (t_max * 2, mid_k, t_max_mid, ov_k, t_big)
+        if name == "mid":
+            if t_max_mid < _TIER_CAPS[2]:
+                return (t_max, mid_k, t_max_mid * 2, ov_k, t_big)
+            if mid_k < _TIER_CAPS[1]:
+                return (t_max, mid_k * 2, t_max_mid, ov_k, t_big)
+        if name == "big":
+            if t_big < _TIER_CAPS[4]:
+                return (t_max, mid_k, t_max_mid, ov_k, t_big * 2)
+            if ov_k < _TIER_CAPS[3]:
+                return (t_max, mid_k, t_max_mid, ov_k * 2, t_big)
+    return None
+
 
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
-                   bg, means2d_offset, chunk, rasterizer: str = "scan",
+                   bg, means2d_offset, chunk, rasterizer: str = "auto",
                    tiers: tuple = DEFAULT_TIERS, nc_pairs: int = 0):
     from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
 
@@ -139,7 +174,7 @@ def train_step(
     sh_degree: int,
     chunk: int = 256,
     lambda_dssim: float = 0.2,
-    rasterizer: str = "scan",
+    rasterizer: str = "auto",
     tiers: tuple = DEFAULT_TIERS,
     nc_pairs: int = 0,
 ):
@@ -299,7 +334,7 @@ def lr_dict(opt: OptimizationConfig, spatial_lr_scale: float, step: int):
 
 def render_gui_camera(scene: GaussianScene, gui_cam, bg: jnp.ndarray,
                       sh_degree: int, scaling_modifier: float = 1.0,
-                      rasterizer: str = "tiled") -> jnp.ndarray:
+                      rasterizer: str = "auto") -> jnp.ndarray:
     """Render a network-GUI camera (matrices only, no gt image)."""
     import math as _math
 
@@ -322,7 +357,7 @@ def render_gui_camera(scene: GaussianScene, gui_cam, bg: jnp.ndarray,
 
 
 def render_eval(scene: GaussianScene, cam, bg: jnp.ndarray, sh_degree: int,
-                chunk: int = 256, rasterizer: str = "scan",
+                chunk: int = 256, rasterizer: str = "auto",
                 tiers: tuple = DEFAULT_TIERS) -> jnp.ndarray:
     """Inference render of a host Camera (for eval loops)."""
     ca = camera_arrays(cam)
@@ -398,7 +433,7 @@ class GSTrainer:
 
     def run(self, iterations: Optional[int] = None, log_every: int = 50,
             save_iterations=(), model_path: Optional[str] = None,
-            callback=None, chunk: int = 256, rasterizer: str = "scan",
+            callback=None, chunk: int = 256, rasterizer: str = "auto",
             checkpoint_iterations=(), first_iteration: int = 1,
             pre_step=None, tiers: tuple = DEFAULT_TIERS,
             adapt_tiers_every: int = 500, adapt_drop_threshold: float = 0.01):
@@ -473,17 +508,13 @@ class GSTrainer:
                     "binning_dropped_main", "binning_dropped_mid",
                     "binning_dropped_big", "binning_total_area")})
                 total = max(float(m["binning_total_area"]), 1.0)
-                ratio = (float(m["binning_dropped_main"])
-                         + float(m["binning_dropped_mid"])
-                         + float(m["binning_dropped_big"])) / total
+                d_main = float(m["binning_dropped_main"])
+                d_mid = float(m["binning_dropped_mid"])
+                d_big = float(m["binning_dropped_big"])
+                ratio = (d_main + d_mid + d_big) / total
                 if ratio > adapt_drop_threshold:
-                    t_max, mid_k, t_max_mid, ov_k, t_big = tiers
-                    if t_max_mid < 256:
-                        t_max_mid *= 2
-                    elif mid_k < 16384:
-                        mid_k *= 2
-                    new_tiers = (t_max, mid_k, t_max_mid, ov_k, t_big)
-                    if new_tiers != tiers:
+                    new_tiers = widen_tiers(tiers, d_main, d_mid, d_big)
+                    if new_tiers is not None:
                         print(f"[{it}] binning truncation {ratio:.1%} > "
                               f"{adapt_drop_threshold:.0%}: widening tiers "
                               f"{tiers} -> {new_tiers}")

@@ -7,28 +7,26 @@ flat, cost is per-chunk (VPU/MXU compute bound); if ms falls steeply with D,
 per-instance overheads (first-chunk DMA stall, end-of-instance write drain,
 grid dispatch) dominate and multi-tile grid instances would pay.
 
+Timing goes through tools/tputime.chained_ms — over the axon tunnel, plain
+block_until_ready loops can report dispatch time instead of device time
+(see tputime docstring).
+
 Run on the real TPU: PYTHONPATH=/root/.axon_site:. python
 tools/profile_kernel_shape.py
 """
 
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, "tools")
+from tputime import chained_ms, seq_dep  # noqa: E402
+
 from sixdgs_tpu.ops.rasterizer.pallas_tiles import (
-    KB, NPIX, pallas_composite_fwd, pallas_composite_bwd)
-
-
-def timeit(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3
+    KB, pallas_composite_fwd, pallas_composite_bwd)
 
 
 def synthetic(n_tiles, depth_chunks, seed=0):
@@ -44,9 +42,10 @@ def synthetic(n_tiles, depth_chunks, seed=0):
     rec[4] = rng.uniform(0.05, 0.3, nc)
     rec[5:8] = rng.uniform(0, 1, (3, nc))
     rec[8] = rng.uniform(0.01, 0.1, nc)  # low opacity: no early stop
-    starts = (np.arange(n_tiles) * seg).astype(np.int32)
+    starts = np.arange(n_tiles + 1, dtype=np.int32) * seg
     counts = np.full(n_tiles, seg, np.int32)
-    return (jnp.asarray(rec), jnp.asarray(starts), jnp.asarray(counts))
+    return (jnp.asarray(rec), jnp.asarray(starts[:n_tiles]),
+            jnp.asarray(counts))
 
 
 def main():
@@ -56,15 +55,24 @@ def main():
         n_tiles = total_chunks // depth
         ny = n_tiles // nx
         rec, starts, counts = synthetic(nx * ny, depth)
-        fwd = jax.jit(lambda r, s, c, _nx=nx, _ny=ny: pallas_composite_fwd(
-            r, s, c, _nx, _ny))
-        color, trans = fwd(rec, starts, counts)
-        t_f = timeit(fwd, rec, starts, counts)
+
+        @jax.jit
+        def fwd_step(r, _nx=nx, _ny=ny, _s=starts, _c=counts):
+            color, trans = pallas_composite_fwd(r, _s, _c, _nx, _ny)
+            return (seq_dep(r, color), color[0, 0, 0]), color, trans
+
+        (_, _), color, trans = fwd_step(rec)
+        t_f = chained_ms(lambda c: fwd_step(c[0])[0], (rec, jnp.float32(0)))
         dcol = jnp.ones_like(color)
         dtr = jnp.ones_like(trans)
-        bwd = jax.jit(lambda r, s, c, co, tr, dc, dt, _nx=nx, _ny=ny:
-                      pallas_composite_bwd(r, s, c, _nx, _ny, co, tr, dc, dt))
-        t_b = timeit(bwd, rec, starts, counts, color, trans, dcol, dtr)
+
+        @jax.jit
+        def bwd_step(r, _nx=nx, _ny=ny, _s=starts, _c=counts, _co=color,
+                     _tr=trans, _dc=dcol, _dt=dtr):
+            dp = pallas_composite_bwd(r, _s, _c, _nx, _ny, _co, _tr, _dc, _dt)
+            return seq_dep(r, dp[0, 0:1]), dp[0, 0]
+
+        t_b = chained_ms(lambda c: bwd_step(c[0]), (rec, jnp.float32(0)))
         n_inst = nx * ny
         print(f"depth {depth:2d} chunks x {n_inst:4d} tiles "
               f"({total_chunks} chunks total): fwd {t_f:7.2f} ms  "
