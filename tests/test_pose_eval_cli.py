@@ -10,6 +10,86 @@ from tests.test_scene_io import make_blender_dataset
 from sixdgs_tpu.apps import pose_eval, train_gs
 
 
+def _make_experiment(tmp_path, n_test=2):
+    """Tiny trained 3DGS experiment dir for the pose driver."""
+    root = str(tmp_path / "chair")
+    os.makedirs(root)
+    make_blender_dataset(root, n_train=3, n_test=n_test, size=24)
+    from sixdgs_tpu.scene.ply_io import store_point_cloud_ply
+
+    rng = np.random.default_rng(0)
+    store_point_cloud_ply(
+        os.path.join(root, "points3d.ply"),
+        rng.normal(size=(150, 3)),
+        rng.integers(0, 255, size=(150, 3)),
+    )
+    exp_root = str(tmp_path / "output")
+    model_path = os.path.join(exp_root, "synthetic_chair_0001")
+    train_gs.main(
+        [
+            "--source_path", root,
+            "--model_path", model_path,
+            "--eval", "--white_background",
+            "--iterations", "4",
+            "--densify_from_iter", "100",
+            "--test_iterations", "-1",
+            "--save_iterations", "4",
+            "--quiet", "--chunk", "64",
+            "--capacity_bucket", "256",
+        ]
+    )
+    return exp_root, model_path
+
+
+def test_pose_eval_pretrained_weights_cli(tmp_path):
+    """The real-weights chain end-to-end (VERDICT r3 missing #3): synthetic
+    hub-key-named torch .pth AND converted .npz through `--dino_weights`
+    (`pose_eval.py` -> `dino.load_params` .pth / .npz branches), plus
+    `--backbone superpoint --superpoint_weights` — each into the full driver
+    (train + eval_image). On real-weights day these CLI paths must not be
+    first-ever executions."""
+    import torch
+
+    from tests.test_converters import (
+        make_dino_state_dict, make_superpoint_state_dict)
+    from sixdgs_tpu.pose import dino
+    from sixdgs_tpu.pose import superpoint as sp_mod
+
+    rng = np.random.default_rng(5)
+    sd = make_dino_state_dict(rng, depth=2, grid=16)
+    pth = str(tmp_path / "dinov2_vits14_pretrain.pth")
+    torch.save(sd, pth)
+    npz = str(tmp_path / "dino_converted.npz")
+    np.savez(npz, **dino.flatten_params(dino.convert_torch_state_dict(sd)))
+
+    sp_params = sp_mod.convert_torch_state_dict(make_superpoint_state_dict(rng))
+    sp_npz = str(tmp_path / "superpoint_converted.npz")
+    np.savez(sp_npz, **{f"{name}.{leaf}": np.asarray(val)
+                        for name, sub in sp_params.items()
+                        for leaf, val in sub.items()})
+
+    exp_root, model_path = _make_experiment(tmp_path, n_test=1)
+    base = ["--exp_path", exp_root, "--data_type", "blender",
+            "--n_iterations", "2", "--batch", "2", "--ray_budget", "512"]
+    for tag, extra in [
+        ("pth", ["--dino_weights", pth]),
+        ("npz", ["--dino_weights", npz]),
+        ("sp", ["--backbone", "superpoint", "--superpoint_weights", sp_npz]),
+    ]:
+        # fresh id-module per backbone (the resume checkpoint is
+        # feature-dim-specific: 384 dino vs 256 superpoint)
+        ckpt = os.path.join(model_path, "id_module.npz")
+        if os.path.exists(ckpt):
+            os.remove(ckpt)
+        out_json = str(tmp_path / f"pose_results_{tag}.json")
+        pose_eval.main(base + ["--out_path", out_json] + extra)
+        with open(out_json) as fh:
+            results = json.load(fh)
+        assert len(results) == 1, tag
+        assert np.asarray(results[0]["pred_c2w"]).shape == (4, 4), tag
+        assert np.isfinite(results[0]["scores_loss"]), tag
+
+
 def test_pose_eval_driver(tmp_path):
     root = str(tmp_path / "chair")
     os.makedirs(root)
