@@ -126,6 +126,74 @@ def bench_attention_kernel(id_params, rays, n_patches=256, d=384):
     return {**out["bf16_split3"], "modes": out}
 
 
+def bench_attention_131k(id_params, n_rays=131072, n_patches=256, d=384):
+    """Fused attention at the Mip-360 stress ray budget: fwd AND fwd+bwd per
+    MXU precision mode (VERDICT r3 #6 — these lived only in BASELINE.md)."""
+    from sixdgs_tpu.ops.attention_kernel import attention_scores_fused
+
+    rng = np.random.default_rng(7)
+    q = jnp.asarray(rng.normal(size=(n_patches, d)).astype(np.float32))
+    feats = jnp.asarray(rng.normal(size=(n_rays, d)).astype(np.float32))
+    att = id_params["attention"]
+    pmask = jnp.ones(n_patches, bool)
+    valid = jnp.ones(n_rays, bool)
+
+    out = {}
+    for mode in ("f32", "bf16_split3", "bf16"):
+        fwd = jax.jit(functools.partial(
+            attention_scores_fused, q, feats, att["k"]["w"], att["k"]["b"],
+            pmask, valid, mode=mode))
+        ms_f = timeit(fwd)
+
+        def loss(q_, feats_, wk, bk, _mode=mode):
+            return jnp.sum(attention_scores_fused(
+                q_, feats_, wk, bk, pmask, valid, mode=_mode))
+
+        fb = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2, 3)))
+        ms_fb = timeit(fb, q, feats, att["k"]["w"], att["k"]["b"])
+        out[mode] = {"fwd_ms": round(ms_f, 3), "fwd_bwd_ms": round(ms_fb, 3)}
+    return out
+
+
+def bench_raster_stages(P=131072, W=1232, H=816):
+    """Per-stage raster breakdown (chained timing) so each round's BENCH
+    JSON shows where the train-step time lives (VERDICT r3 #6)."""
+    import os
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tools"))
+    import profile_raster as PR
+
+    from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
+    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.scene.cameras import make_synthetic_camera
+    from sixdgs_tpu.train.gs_trainer import camera_arrays
+
+    scene = PR.make_scene(P)
+    cam = make_synthetic_camera(W, H, 0.9, 0.65, np.eye(3), np.zeros(3))
+    ca = camera_arrays(cam)
+    params = scene.params()
+    active = scene.active
+
+    @jax.jit
+    def proj_fn(params):
+        scaling = jnp.exp(params["scaling"])
+        cov3d = build_covariance(scaling, params["rotation"])
+        opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
+        sh = jnp.concatenate(
+            [params["features_dc"], params["features_rest"]], axis=1)
+        return project_gaussians(
+            params["xyz"], cov3d, opacity, ca.view, ca.full_proj,
+            ca.camera_center, W, H, ca.tan_fovx, ca.tan_fovy,
+            sh=sh, sh_degree=3, active=active,
+        )
+
+    proj = jax.block_until_ready(proj_fn(params))
+    stages = PR.pglue_breakdown(proj, P, W, H, n=10)
+    return {k: round(v, 2) for k, v in stages.items()}
+
+
 def bench_compositing_kernel(P=131072, W=1232, H=816):
     """Pallas compositing fwd kernel HBM roofline at Mip-360 scale: traffic is
     the [16, N] record planes streamed once + per-tile color/trans outputs."""
@@ -310,9 +378,17 @@ def main():
         except Exception as e:  # pragma: no cover
             result["attention_kernel"] = {"error": f"{type(e).__name__}: {e}"[:120]}
         try:
+            result["attention_131k"] = bench_attention_131k(id_params)
+        except Exception as e:  # pragma: no cover
+            result["attention_131k"] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        try:
             result["compositing_kernel"] = bench_compositing_kernel()
         except Exception as e:  # pragma: no cover
             result["compositing_kernel"] = {"error": f"{type(e).__name__}: {e}"[:120]}
+        try:
+            result["raster_stages"] = bench_raster_stages()
+        except Exception as e:  # pragma: no cover
+            result["raster_stages"] = {"error": f"{type(e).__name__}: {e}"[:120]}
         try:
             result["gs_train_step_ms"] = round(bench_train_step(), 2)
         except Exception as e:  # pragma: no cover

@@ -2,24 +2,159 @@
 
 Times each stage of the rasterizer data path separately so optimization
 targets the dominant cost (run on the real TPU chip).
+
+Timing is CHAINED with a host fetch (tools/tputime.py): over the tunnel,
+bare block_until_ready loops can time dispatch instead of execution.
+bench.py imports ``pglue_breakdown`` so every round's BENCH JSON carries
+the stage composition (VERDICT r3 #6).
 """
 
 import argparse
+import os
+import sys
 import time
 
 import numpy as np
 import jax
 import jax.numpy as jnp
 
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+from tputime import chained_ms, seq_dep  # noqa: E402
+
 
 def timeit(fn, *args, n=20, warmup=3):
-    for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(n):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    return (time.perf_counter() - t0) / n * 1e3  # ms
+    """Chained + host-fetch timing of fn(*args); extra args are closed over
+    and the first argument carries the serializing data dependency."""
+
+    @jax.jit
+    def step(carry):
+        a0, _ = carry
+        out = fn(a0, *args[1:])
+        leaves = jax.tree_util.tree_leaves(out)
+        sm = min(leaves, key=lambda v: v.size)
+        # fold the dependency into ONE leaf of the (possibly pytree) first arg
+        flat, tdef = jax.tree_util.tree_flatten(a0)
+        flat[0] = seq_dep(flat[0], sm)
+        return tdef.unflatten(flat), sm.astype(jnp.float32).ravel()[0]
+
+    return chained_ms(step, (args[0], jnp.float32(0)), n=n, warmup=warmup)
+
+
+def pglue_breakdown(proj, P, W, H, n=20):
+    """Stage-by-stage chained timing of the Pallas raster pipeline
+    (everything around + including the compositing kernels) for the
+    COMPACT-GATHER design: ONE payload-free fused-key sort + one row gather
+    forward; one gidx-keyed payload sort + cumsum-diff backward.
+    Returns {stage_name: ms} (insertion order = pipeline order)."""
+    from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
+    from sixdgs_tpu.ops.rasterizer.tiles import _fused_pair_keys, _permute
+
+    nx, ny = -(-W // PT.TILE), -(-H // PT.TILE)
+    visible = proj.radii > 0
+    t_max, t_max_mid, t_max_big = 16, 64, 1024
+    mid_k, overflow_k = 4096, 256
+    n_tiles = nx * ny
+    out = {}
+
+    @jax.jit
+    def stage_depth(proj_means2d, conics, colors, opacities, depths, radii):
+        order = jnp.argsort(jnp.where(visible, depths, jnp.inf))
+        # mirror rasterize_pallas: inverse permutation via a disjoint
+        # scatter of iota, not a second argsort
+        P_all = order.shape[0]
+        iota = jnp.arange(P_all, dtype=order.dtype)
+        inv = jnp.zeros(P_all, order.dtype).at[order].set(
+            iota, unique_indices=True, indices_are_sorted=False)
+        rec = _permute(
+            jnp.concatenate([proj_means2d, conics, colors,
+                             jnp.where(visible, opacities, 0.0)[:, None]],
+                            axis=-1), order, inv)
+        return rec, radii[order].astype(jnp.float32), visible[order]
+
+    rec, radii_f, vis = jax.block_until_ready(stage_depth(
+        proj.means2d, proj.conics, proj.colors, proj.opacities,
+        proj.depths, proj.radii))
+    out["depth-sort+permute"] = timeit(
+        stage_depth, proj.means2d, proj.conics, proj.colors, proj.opacities,
+        proj.depths, proj.radii, n=n)
+
+    keys_fn = jax.jit(lambda m, r, v: _fused_pair_keys(
+        m, r, v, nx, ny, 16, t_max, overflow_k=overflow_k,
+        t_max_big=t_max_big, mid_k=mid_k, t_max_mid=t_max_mid))
+    key, _, _, counts_g, gbits = jax.block_until_ready(
+        keys_fn(rec[:, 0:2], radii_f, vis))
+    assert key is not None
+    out["fused_pair_keys"] = timeit(keys_fn, rec[:, 0:2], radii_f, vis, n=n)
+
+    n_slots = P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
+    n_slots_pad = -(-n_slots // PT.KB) * PT.KB
+    nc = min(-(-PT.DEFAULT_NC // PT.KB) * PT.KB, n_slots_pad)
+
+    @jax.jit
+    def stage_sort(key):
+        pad = n_slots_pad - n_slots
+        if pad:
+            sentinel = jnp.uint32(n_tiles) << gbits
+            key = jnp.concatenate([key, jnp.full(pad, sentinel, jnp.uint32)])
+        skey = jax.lax.sort((key,), num_keys=1)[0][:nc]
+        gidx_c = jax.lax.bitwise_and(
+            skey, jnp.uint32((1 << gbits) - 1)).astype(jnp.int32)
+        tiles_c = jax.lax.shift_right_logical(
+            skey, jnp.uint32(gbits)).astype(jnp.int32)
+        return gidx_c, tiles_c
+
+    gidx_c, tiles_c = jax.block_until_ready(stage_sort(key))
+    out[f"key sort+unpack ({n_slots_pad} slots)"] = timeit(stage_sort, key, n=n)
+
+    @jax.jit
+    def stage_layout(tiles_c, counts_g):
+        starts = jnp.searchsorted(
+            tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
+            method="scan_unrolled",
+        ).astype(jnp.int32)
+        return (starts, starts[1:] - starts[:-1],
+                jnp.cumsum(counts_g).astype(jnp.int32))
+
+    starts, counts, ends_g = jax.block_until_ready(
+        stage_layout(tiles_c, counts_g))
+    out["searchsorted+cumsum"] = timeit(stage_layout, tiles_c, counts_g, n=n)
+
+    @jax.jit
+    def stage_gather(rec, gidx_c):
+        recs_c = rec[gidx_c].T
+        return jnp.concatenate(
+            [recs_c, jnp.zeros((PT.COLS - 9, nc), jnp.float32)], axis=0)
+
+    recs = jax.block_until_ready(stage_gather(rec, gidx_c))
+    out["compact row gather"] = timeit(stage_gather, rec, gidx_c, n=n)
+
+    kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+    out["fwd kernel"] = timeit(kf, recs, starts, counts, n=n)
+
+    color, trans = jax.block_until_ready(kf(recs, starts, counts))
+    kb = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
+    out["bwd kernel"] = timeit(kb, recs, starts, counts, color, trans, n=n)
+
+    dpairs = jax.block_until_ready(kb(recs, starts, counts, color, trans))
+
+    @jax.jit
+    def stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real):
+        rows = jnp.arange(nc, dtype=jnp.int32)
+        gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
+        srt = jax.lax.sort(
+            (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
+        cum = jnp.cumsum(jnp.stack(srt[1:], axis=-1), axis=0)
+        cum0 = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
+        return cum0[jnp.minimum(ends_g, nc)] - cum0[
+            jnp.minimum(ends_g - counts_g, nc)]
+
+    v_real = starts[n_tiles]
+    jax.block_until_ready(
+        stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real))
+    out["bwd gidx payload sort+route"] = timeit(
+        stage_bwd_route, dpairs, gidx_c, ends_g, counts_g, v_real, n=n)
+    return out
 
 
 def make_scene(P=100_000, seed=0, cap=None):
@@ -128,117 +263,8 @@ def main():
         print(f"dssim_l1 fwd+bwd: {timeit(ssim_fb, img):8.2f} ms")
 
     if want("pglue"):
-        # fine-grained breakdown of the pallas glue (everything around the
-        # compositing kernels) for the COMPACT-GATHER pipeline: ONE
-        # payload-free fused-key sort + one row gather forward; one
-        # gidx-keyed payload sort + cumsum-diff backward.
-        from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
-        from sixdgs_tpu.ops.rasterizer.tiles import _fused_pair_keys, _permute
-
-        visible = proj.radii > 0
-        t_max, t_max_mid, t_max_big = 16, 64, 1024
-        mid_k, overflow_k = 4096, 256
-        n_tiles = nx * ny
-
-        @jax.jit
-        def stage_depth(proj_means2d, conics, colors, opacities, depths, radii):
-            order = jnp.argsort(jnp.where(visible, depths, jnp.inf))
-            # mirror rasterize_pallas: inverse permutation via a disjoint
-            # scatter of iota, not a second argsort
-            P_all = order.shape[0]
-            iota = jnp.arange(P_all, dtype=order.dtype)
-            inv = jnp.zeros(P_all, order.dtype).at[order].set(
-                iota, unique_indices=True, indices_are_sorted=False)
-            rec = _permute(
-                jnp.concatenate([proj_means2d, conics, colors,
-                                 jnp.where(visible, opacities, 0.0)[:, None]],
-                                axis=-1), order, inv)
-            return rec, radii[order].astype(jnp.float32), visible[order]
-
-        rec, radii_f, vis = jax.block_until_ready(stage_depth(
-            proj.means2d, proj.conics, proj.colors, proj.opacities,
-            proj.depths, proj.radii))
-        print(f"pglue depth-sort+permute: {timeit(stage_depth, proj.means2d, proj.conics, proj.colors, proj.opacities, proj.depths, proj.radii):8.2f} ms")
-
-        keys_fn = jax.jit(lambda m, r, v: _fused_pair_keys(
-            m, r, v, nx, ny, 16, t_max, overflow_k=overflow_k,
-            t_max_big=t_max_big, mid_k=mid_k, t_max_mid=t_max_mid))
-        key, _, _, counts_g, gbits = jax.block_until_ready(
-            keys_fn(rec[:, 0:2], radii_f, vis))
-        assert key is not None
-        print(f"pglue fused_pair_keys: {timeit(keys_fn, rec[:, 0:2], radii_f, vis):8.2f} ms")
-
-        n_slots = args.P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
-        n_slots_pad = -(-n_slots // PT.KB) * PT.KB
-        nc = min(-(-PT.DEFAULT_NC // PT.KB) * PT.KB, n_slots_pad)
-
-        @jax.jit
-        def stage_sort(key):
-            pad = n_slots_pad - n_slots
-            if pad:
-                sentinel = jnp.uint32(n_tiles) << gbits
-                key = jnp.concatenate([key, jnp.full(pad, sentinel, jnp.uint32)])
-            skey = jax.lax.sort((key,), num_keys=1)[0][:nc]
-            gidx_c = jax.lax.bitwise_and(
-                skey, jnp.uint32((1 << gbits) - 1)).astype(jnp.int32)
-            tiles_c = jax.lax.shift_right_logical(
-                skey, jnp.uint32(gbits)).astype(jnp.int32)
-            return gidx_c, tiles_c
-
-        gidx_c, tiles_c = jax.block_until_ready(stage_sort(key))
-        print(f"pglue key sort+unpack ({n_slots_pad} slots): {timeit(stage_sort, key):8.2f} ms")
-
-        @jax.jit
-        def stage_layout(tiles_c, counts_g):
-            starts = jnp.searchsorted(
-                tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
-                method="scan_unrolled",
-            ).astype(jnp.int32)
-            return starts, starts[1:] - starts[:-1], jnp.cumsum(counts_g).astype(jnp.int32)
-
-        starts, counts, ends_g = jax.block_until_ready(
-            stage_layout(tiles_c, counts_g))
-        print(f"pglue searchsorted+cumsum: {timeit(stage_layout, tiles_c, counts_g):8.2f} ms")
-
-        ss_only = jax.jit(lambda tc: jnp.searchsorted(
-            tc, jnp.arange(n_tiles + 1, dtype=jnp.int32),
-            method="scan_unrolled").astype(jnp.int32))
-        jax.block_until_ready(ss_only(tiles_c))
-        print(f"pglue   - searchsorted alone: {timeit(ss_only, tiles_c):8.2f} ms")
-
-        @jax.jit
-        def stage_gather(rec, gidx_c):
-            recs_c = rec[gidx_c].T
-            return jnp.concatenate(
-                [recs_c, jnp.zeros((PT.COLS - 9, nc), jnp.float32)], axis=0)
-
-        recs = jax.block_until_ready(stage_gather(rec, gidx_c))
-        print(f"pglue compact row gather: {timeit(stage_gather, rec, gidx_c):8.2f} ms")
-
-        kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
-        print(f"pglue fwd kernel: {timeit(kf, recs, starts, counts):8.2f} ms")
-
-        color, trans = jax.block_until_ready(kf(recs, starts, counts))
-        kb = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
-            r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
-        print(f"pglue bwd kernel: {timeit(kb, recs, starts, counts, color, trans):8.2f} ms")
-
-        dpairs = jax.block_until_ready(kb(recs, starts, counts, color, trans))
-
-        @jax.jit
-        def stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real):
-            rows = jnp.arange(nc, dtype=jnp.int32)
-            gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(args.P))
-            out = jax.lax.sort(
-                (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
-            cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)
-            cum0 = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
-            return cum0[jnp.minimum(ends_g, nc)] - cum0[
-                jnp.minimum(ends_g - counts_g, nc)]
-
-        v_real = starts[n_tiles]
-        jax.block_until_ready(stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real))
-        print(f"pglue bwd gidx payload sort+route: {timeit(stage_bwd_route, dpairs, gidx_c, ends_g, counts_g, v_real):8.2f} ms")
+        for name, ms in pglue_breakdown(proj, args.P, W, H).items():
+            print(f"pglue {name}: {ms:8.2f} ms")
 
     from sixdgs_tpu.train.gs_trainer import _render_params
 
@@ -268,15 +294,16 @@ def main():
                 s2, m = train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
                                    sh_degree=3, rasterizer=rast)
                 return s2, m
-            # donated state: re-time by chaining
+            # donated state: chained by construction; HOST-FETCH the loss
+            # (block_until_ready is not a reliable fence over the tunnel)
             for _ in range(3):
                 stt, m = stp(stt)
-            jax.block_until_ready(m["loss"])
+            np.asarray(m["loss"])
             t0 = time.perf_counter()
             N = 20
             for _ in range(N):
                 stt, m = stp(stt)
-            jax.block_until_ready(m["loss"])
+            np.asarray(m["loss"])
             print(f"train_step[{rast}]: {(time.perf_counter()-t0)/N*1e3:8.2f} ms")
 
 
