@@ -690,12 +690,14 @@ def rasterize_pallas(
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
-    # inverse permutation as a disjoint scatter of iota (cheaper than a
-    # second argsort: no key compare passes, one sequential write sweep)
+    # inverse permutation via a key sort of (order, iota): measured 1.97 ms
+    # vs 3.50 ms for the disjoint iota scatter at P=131k (tools/
+    # profile_glue4.py, chained timing — TPU scatters serialize even when
+    # disjoint; the sort's merge passes pipeline)
     P_all = order.shape[0]
-    iota = jnp.arange(P_all, dtype=order.dtype)
-    inv_gorder = jnp.zeros(P_all, order.dtype).at[order].set(
-        iota, unique_indices=True, indices_are_sorted=False)
+    iota = jnp.arange(P_all, dtype=jnp.int32)
+    _, inv_gorder = jax.lax.sort(
+        (order.astype(jnp.int32), iota), num_keys=1)
     opac_all = jnp.where(visible, proj.opacities, 0.0)
     P = proj.means2d.shape[0]
     overflow_k = min(overflow_k, P)

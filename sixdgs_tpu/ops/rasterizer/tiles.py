@@ -555,10 +555,11 @@ def rasterize_tiled(
 
     visible = proj.radii > 0
     order = jnp.argsort(jnp.where(visible, proj.depths, jnp.inf))
-    # inverse permutation via disjoint iota scatter (no second sort)
-    _iota = jnp.arange(order.shape[0], dtype=order.dtype)
-    inv_gorder = jnp.zeros(order.shape[0], order.dtype).at[order].set(
-        _iota, unique_indices=True)
+    # inverse permutation via a key sort of (order, iota) — measured ~1.8x
+    # faster than the disjoint iota scatter on TPU (tools/profile_glue4.py)
+    _iota = jnp.arange(order.shape[0], dtype=jnp.int32)
+    _, inv_gorder = jax.lax.sort(
+        (order.astype(jnp.int32), _iota), num_keys=1)
 
     # pack per-gaussian records then depth-permute ONCE (scatter-free VJP)
     opac_all = jnp.where(visible, proj.opacities, 0.0)
