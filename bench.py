@@ -255,19 +255,21 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
 
     # pipelined timing (block once at the end): per-call blocking would charge
     # the ~25 ms tunnel round-trip to the kernel
-    fwd = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+    bg = jnp.zeros(3, jnp.float32)
+    fwd = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(
+        r, s, c, nx, ny, bg))
     ms = timeit(fwd, rec_t, starts, counts, n=30, warmup=3)
     n_real = int(starts[-1])
     bytes_moved = (PT.COLS * n_real * 4  # record rows streamed once
-                   + nx * ny * 4 * 256 * 4)  # color+trans tiles written
+                   + nx * ny * 3 * 256 * 4)  # out tiles written
     gbps = bytes_moved / (ms * 1e-3) / 1e9
 
-    color, trans = jax.block_until_ready(fwd(rec_t, starts, counts))
-    bwd = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
-        r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
-    ms_bwd = timeit(bwd, rec_t, starts, counts, color, trans, n=30, warmup=3)
+    out = jax.block_until_ready(fwd(rec_t, starts, counts))
+    bwd = jax.jit(lambda r, s, c, o: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, o, o * 1e-3))
+    ms_bwd = timeit(bwd, rec_t, starts, counts, out, n=30, warmup=3)
     bwd_bytes = (2 * PT.COLS * n_real * 4  # records read + dpairs written
-                 + nx * ny * 8 * 256 * 4)  # color/trans/dcolor/dtrans tiles
+                 + nx * ny * 6 * 256 * 4)  # out/dout tiles read
     gbps_bwd = bwd_bytes / (ms_bwd * 1e-3) / 1e9
     return {
         "ms": round(ms, 3),

@@ -60,7 +60,14 @@ Backward math (standard 3DGS):
   dL/da_i = <dC, c_i> T_i - <dC, C - A_i>/(1-a_i) - <dT> T_fin/(1-a_i)
   dL/dc_i = sum_pix dC * w_i
 with A_i the inclusive prefix of color contributions; one front-to-back replay
-recovers everything from the forward's final (C, T) residuals. The early-stop
+recovers everything from the forward's final output. The background is
+composited IN-KERNEL (out = C + T_fin*bg), which makes the VJP boundary the
+final tile image: dC = d_out, dT = <d_out, bg>, and the two suppression terms
+fold into S = <dC, C> + dT*T_fin = <d_out, out> — a per-pixel dot of the
+upstream cotangent with the forward's own output, computed in-kernel. The
+backward therefore streams exactly two per-tile inputs (d_out and the out
+residual, both already in the kernel frame); NO XLA-side transpose, concat,
+or color/trans plumbing exists anywhere on the image path. The early-stop
 rule (contribution only while T*(1-a) >= 1e-4, CUDA `done` ordering) replays
 identically, so stopped gaussians get zero grads.
 
@@ -294,8 +301,8 @@ def _ring_step(dma, ci, n_chunks, my0):
     return slot
 
 
-def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
-                trans_ref, tbuf, sem):
+def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
+                tbuf, sem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -314,7 +321,7 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
     triS, _ = _tri_mats(KB)
 
     def chunk_body(ci, carry):
-        LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [3, NPIX]
+        LT, done, C = carry  # [NPIX, 1] log-T, [NPIX, 1], [NPIX, 3]
         slot = _ring_step(dma, ci, n_chunks, my0)
         buf = tbuf[slot]  # [16, KB] plane-major — no transpose needed
         lo = jnp.maximum(lead - ci * KB, 0)
@@ -324,29 +331,34 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, color_ref,
         colors = buf[5:8, :]  # [3, KB]
         # 3-pass hi/lo-bf16 color accumulation (vs HIGHEST's 6): the dropped
         # lo*lo term is ~2^-16 relative, and sum(w) <= 1 bounds the absolute
-        # image error at ~1.5e-5 — invisible against the reference's f32 FMA
-        C = C + _matmul_split3(colors, w, (((1,), (1,)), ((), ())))
+        # image error at ~1.5e-5 — invisible against the reference's f32 FMA.
+        # Accumulated PIXELS-IN-SUBLANES ([NPIX, 3]) so the final background
+        # composite broadcasts T ([NPIX, 1]) along lanes for free.
+        C = C + _matmul_split3(w, colors, (((1,), (1,)), ((), ())))
         return LT, done, C
 
     LT0 = jnp.zeros((NPIX, 1), jnp.float32)
     D0 = jnp.zeros((NPIX, 1), jnp.float32)
-    C0 = jnp.zeros((3, NPIX), jnp.float32)
+    C0 = jnp.zeros((NPIX, 3), jnp.float32)
     _, (LT, _, C) = jax.lax.while_loop(
         lambda s: s[0] < n_chunks,
         lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
         (0, (LT0, D0, C0)),
     )
-    color_ref[0] = C
-    # trans stays pixels-in-sublanes [NPIX, 1] — an earlier revision paid a
-    # per-instance [NPIX, NPIX] identity matmul to emit a [1, NPIX] row
-    trans_ref[0] = jnp.exp(LT)
+    # background composited IN-KERNEL: the kernel's output IS the final tile
+    # image, so the XLA side keeps no separate color/trans streams (and the
+    # backward needs no dcolor/dtrans plumbing — see S = <d_out, out>)
+    col = jax.lax.broadcasted_iota(jnp.int32, (NPIX, 3), 1)
+    bgv = jnp.where(col == 0, bg_ref[0],
+                    jnp.where(col == 1, bg_ref[1], bg_ref[2]))
+    out_ref[0] = C + jnp.exp(LT) * bgv
 
 
 WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
 
 
-def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
-                dpairs_hbm, tbuf, gbuf, tailbuf, sem, gsem):
+def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
+                out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem, gsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -356,14 +368,17 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
 
-    # ONE fused per-tile input stream [NPIX, 8] (PIXELS IN SUBLANES, matching
-    # the kernel's compute frame): cols 0:3 = dC, col 3 = S = <dC, C> + dT*T
-    # per pixel (precomputed outside in one batched XLA op). Having dC as
-    # [NPIX, 1] columns makes dbuf a pure-VPU broadcast sum (an earlier
-    # revision burned 3 MXU passes on a K=3 matmul plus an identity-matmul
-    # transpose for S)
-    dC_cols = aux_ref[0, :, 0:3]  # [NPIX, 3]
-    S = aux_ref[0, :, 3:4]  # [NPIX, 1]
+    # With the background composited in-kernel, the VJP boundary is the tile
+    # image itself: dC = d_out, and BOTH suppression terms fold into
+    # S = <dC, C> + dT*T = <d_out, C + bg*T> = <d_out, out> — one per-pixel
+    # dot of the upstream cotangent with the forward's own output. So the
+    # only streams the backward needs are d_out and out (both already in the
+    # kernel's pixels-in-sublanes frame; no XLA-side transpose/concat exists
+    # anywhere in the chain). dC as [NPIX, 1] columns makes dbuf a pure-VPU
+    # broadcast sum (an earlier revision burned 3 MXU passes on a K=3 matmul
+    # plus an identity-matmul transpose for S)
+    dC_cols = dout_ref[0]  # [NPIX, 3]
+    S = jnp.sum(dout_ref[0] * out_ref[0], axis=1, keepdims=True)  # [NPIX, 1]
     basis = _moment_basis()
     triS, triI = _tri_mats(KB)
 
@@ -498,25 +513,20 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, aux_ref,
 
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                          counts: jnp.ndarray, nx: int, ny: int,
-                         interpret: bool = False):
+                         bg: jnp.ndarray, interpret: bool = False):
     """records: [16, NC] sorted compact pair record planes (9 live rows;
-    NC a KB multiple); starts [n_tiles+1]; counts [n_tiles].
-    Returns (color [n_tiles,3,256], trans [n_tiles,256,1] — trans keeps the
-    kernel's pixels-in-sublanes frame; the size-1 axis swap back to a
-    [n_tiles,1,256] row is a free reshape for the caller)."""
+    NC a KB multiple); starts [n_tiles+1]; counts [n_tiles]; bg [3].
+    Returns the final composited tile images out [n_tiles, NPIX, 3]
+    (pixels in sublanes — out = C + T*bg, background applied in-kernel)."""
     n_tiles = nx * ny
-    color, trans = pl.pallas_call(
+    out = pl.pallas_call(
         _fwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=(
-                pl.BlockSpec((1, 3, NPIX), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NPIX, 1), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ),
+            out_specs=pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
+                                   memory_space=pltpu.VMEM),
             scratch_shapes=[
                 # slots 0..RING-1: in-instance streaming ring (prefetch
                 # distance RING-1); RING/RING+1: cross-instance first-chunk
@@ -530,32 +540,27 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
             # execution (single-core v5e runs it sequentially regardless)
             dimension_semantics=("arbitrary",)
         ),
-        out_shape=(
-            jax.ShapeDtypeStruct((n_tiles, 3, NPIX), jnp.float32),
-            jax.ShapeDtypeStruct((n_tiles, NPIX, 1), jnp.float32),
-        ),
+        out_shape=jax.ShapeDtypeStruct((n_tiles, NPIX, 3), jnp.float32),
         interpret=interpret,
-    )(starts, counts, jnp.asarray([nx], jnp.int32), records)
-    return color, trans
+    )(starts, counts, jnp.asarray([nx], jnp.int32),
+      jnp.asarray(bg, jnp.float32), records)
+    return out
 
 
-def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
-                         trans, dcolor, dtrans, interpret: bool = False):
+def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
+                         dout, interpret: bool = False):
     """Per-pair gradients [16, NC] (same compact layout as records).
+
+    ``out`` is the forward's own output (the residual), ``dout`` the
+    upstream cotangent — both [n_tiles, NPIX, 3], already in the kernel's
+    pixels-in-sublanes frame. S = <d_out, out> is computed in-kernel, so
+    there is NO XLA-side aux construction at all.
 
     Boundary chunks are merged through a persistent VMEM tail-carry (the
     previous tile's last merged chunk), so the grid must execute
     sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     nc = records.shape[1]
-    # ONE fused per-tile aux stream [n_tiles, NPIX, 8] (pixels in sublanes):
-    # cols 0:3 = dC, col 3 = S = per-pixel <dC, C> + dT*T (batched XLA; see
-    # _bwd_kernel). trans/dtrans arrive as [n_tiles, NPIX, 1].
-    s_col = (jnp.sum(dcolor * color, axis=1)[..., None]
-             + dtrans * trans)  # [n_tiles, NPIX, 1]
-    aux = jnp.concatenate(
-        [jnp.swapaxes(dcolor, 1, 2), s_col,
-         jnp.zeros((n_tiles, NPIX, 4), dcolor.dtype)], axis=2)
     dpairs = pl.pallas_call(
         _bwd_kernel,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -563,7 +568,9 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             grid=(n_tiles,),
             in_specs=[
                 pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NPIX, 8), lambda t, *_: (t, 0, 0),
+                pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
                              memory_space=pltpu.VMEM),
             ],
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
@@ -580,37 +587,37 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, color,
             has_side_effects=True, dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(starts, counts, jnp.asarray([nx], jnp.int32), records, aux)
+    )(starts, counts, jnp.asarray([nx], jnp.int32), records, dout, out)
     return dpairs
 
 
 # ------------------------------------------------------------- full wrapper
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
-def _composite(records, starts, counts, nx, ny, interpret):
-    return pallas_composite_fwd(records, starts, counts, nx, ny,
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
+def _composite(records, starts, counts, bg, nx, ny, interpret):
+    return pallas_composite_fwd(records, starts, counts, nx, ny, bg,
                                 interpret=interpret)
 
 
-def _composite_fwd(records, starts, counts, nx, ny, interpret):
-    color, trans = pallas_composite_fwd(records, starts, counts, nx, ny,
-                                        interpret=interpret)
-    return (color, trans), (records, starts, counts, color, trans)
+def _composite_fwd(records, starts, counts, bg, nx, ny, interpret):
+    out = pallas_composite_fwd(records, starts, counts, nx, ny, bg,
+                               interpret=interpret)
+    return out, (records, starts, counts, bg, out)
 
 
-def _composite_bwd(nx, ny, interpret, res, grads):
-    records, starts, counts, color, trans = res
-    dcolor, dtrans = grads
+def _composite_bwd(nx, ny, interpret, res, dout):
+    records, starts, counts, bg, out = res
     dpairs = pallas_composite_bwd(
-        records, starts, counts, nx, ny, color, trans, dcolor, dtrans,
-        interpret=interpret,
+        records, starts, counts, nx, ny, out, dout, interpret=interpret,
     )
     # lanes past the last valid pair were never written (uninitialized HBM)
     n_real = starts[-1]
     lane = jnp.arange(dpairs.shape[1], dtype=jnp.int32)
     dpairs = jnp.where((lane < n_real)[None, :], dpairs, 0.0)
-    return dpairs, None, None
+    # bg is non-differentiable by contract (the reference CUDA rasterizer
+    # returns no background gradient either)
+    return dpairs, None, None, jnp.zeros_like(bg)
 
 
 _composite.defvjp(_composite_fwd, _composite_bwd)
@@ -760,9 +767,10 @@ def rasterize_pallas(
         [recs_c, jnp.zeros((COLS - RECORD, nc), jnp.float32)], axis=0
     )  # [16, NC]; the concat VJP is a row slice
 
-    color, trans = _composite(records_t, starts, counts, nx, ny, interpret)
-    trans_row = jnp.swapaxes(trans, 1, 2)  # size-1 swap: free reshape
-    out_tiles = color + trans_row * bg_color[None, :, None]  # [nt, 3, 256]
-    img = out_tiles.reshape(ny, nx, 3, TILE, TILE)
-    img = img.transpose(2, 0, 3, 1, 4).reshape(3, ny * TILE, nx * TILE)
+    out = _composite(records_t, starts, counts,
+                     jnp.asarray(bg_color, jnp.float32), nx, ny, interpret)
+    # out [nt, NPIX, 3] is the FINAL tile image (bg composited in-kernel);
+    # one relayout to [3, H, W] is the only XLA op left on the image path
+    img = out.reshape(ny, nx, TILE, TILE, 3)
+    img = img.transpose(4, 0, 2, 1, 3).reshape(3, ny * TILE, nx * TILE)
     return img[:, :height, :width]

@@ -56,20 +56,21 @@ def main():
         ny = n_tiles // nx
         rec, starts, counts = synthetic(nx * ny, depth)
 
+        bg = jnp.zeros(3, jnp.float32)
+
         @jax.jit
         def fwd_step(r, _nx=nx, _ny=ny, _s=starts, _c=counts):
-            color, trans = pallas_composite_fwd(r, _s, _c, _nx, _ny)
-            return (seq_dep(r, color), color[0, 0, 0]), color, trans
+            img = pallas_composite_fwd(r, _s, _c, _nx, _ny, bg)
+            return (seq_dep(r, img), img[0, 0, 0]), img
 
-        (_, _), color, trans = fwd_step(rec)
+        (_, _), img = fwd_step(rec)
         t_f = chained_ms(lambda c: fwd_step(c[0])[0], (rec, jnp.float32(0)))
-        dcol = jnp.ones_like(color)
-        dtr = jnp.ones_like(trans)
+        dimg = jnp.ones_like(img)
 
         @jax.jit
-        def bwd_step(r, _nx=nx, _ny=ny, _s=starts, _c=counts, _co=color,
-                     _tr=trans, _dc=dcol, _dt=dtr):
-            dp = pallas_composite_bwd(r, _s, _c, _nx, _ny, _co, _tr, _dc, _dt)
+        def bwd_step(r, _nx=nx, _ny=ny, _s=starts, _c=counts, _o=img,
+                     _do=dimg):
+            dp = pallas_composite_bwd(r, _s, _c, _nx, _ny, _o, _do)
             return seq_dep(r, dp[0, 0:1]), dp[0, 0]
 
         t_b = chained_ms(lambda c: bwd_step(c[0]), (rec, jnp.float32(0)))

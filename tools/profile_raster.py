@@ -128,15 +128,17 @@ def pglue_breakdown(proj, P, W, H, n=20):
     recs = jax.block_until_ready(stage_gather(rec, gidx_c))
     out["compact row gather"] = timeit(stage_gather, rec, gidx_c, n=n)
 
-    kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+    bg = jnp.zeros(3, jnp.float32)
+    kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(
+        r, s, c, nx, ny, bg))
     out["fwd kernel"] = timeit(kf, recs, starts, counts, n=n)
 
-    color, trans = jax.block_until_ready(kf(recs, starts, counts))
-    kb = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
-        r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
-    out["bwd kernel"] = timeit(kb, recs, starts, counts, color, trans, n=n)
+    img = jax.block_until_ready(kf(recs, starts, counts))
+    kb = jax.jit(lambda r, s, c, o: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, o, o * 1e-3))
+    out["bwd kernel"] = timeit(kb, recs, starts, counts, img, n=n)
 
-    dpairs = jax.block_until_ready(kb(recs, starts, counts, color, trans))
+    dpairs = jax.block_until_ready(kb(recs, starts, counts, img))
 
     @jax.jit
     def stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real):

@@ -108,16 +108,17 @@ def main():
           flush=True)
     counts = starts[1:] - starts[:-1]
 
-    kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny))
+    bg = jnp.zeros(3, jnp.float32)
+    kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(r, s, c, nx, ny, bg))
     print(f"fwd kernel: {timeit(kf, rec_t, starts, counts):8.2f} ms", flush=True)
-    color, trans = kf(rec_t, starts, counts)
+    img = kf(rec_t, starts, counts)
 
-    kb = jax.jit(lambda r, s, c, co, tr: PT.pallas_composite_bwd(
-        r, s, c, nx, ny, co, tr, co * 1e-3, tr * 1e-3))
-    print(f"bwd kernel: {timeit(kb, rec_t, starts, counts, color, trans):8.2f} ms",
+    kb = jax.jit(lambda r, s, c, o: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, o, o * 1e-3))
+    print(f"bwd kernel: {timeit(kb, rec_t, starts, counts, img):8.2f} ms",
           flush=True)
 
-    dp = kb(rec_t, starts, counts, color, trans)
+    dp = kb(rec_t, starts, counts, img)
     ends_g = jnp.cumsum(counts_g).astype(jnp.int32)
 
     @jax.jit
