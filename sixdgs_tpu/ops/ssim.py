@@ -50,7 +50,8 @@ def _band_matrix(n: int, window_size: int, sigma: float) -> np.ndarray:
     return m
 
 
-def _blur(stack: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
+def _blur_matmul(stack: jnp.ndarray, window_size: int,
+                 sigma: float) -> jnp.ndarray:
     """Separable Gaussian blur of [B, H, W] via two MXU band matmuls."""
     h, w = stack.shape[-2], stack.shape[-1]
     bh = jnp.asarray(_band_matrix(h, window_size, sigma))
@@ -59,6 +60,32 @@ def _blur(stack: jnp.ndarray, window_size: int, sigma: float) -> jnp.ndarray:
                    precision=jax.lax.Precision.HIGHEST)
     return jnp.einsum("bkw,wj->bkj", y, bw,
                       precision=jax.lax.Precision.HIGHEST)
+
+
+def _blur_shifts(stack: jnp.ndarray, window_size: int,
+                 sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur as 2 x window_size weighted slice-adds.
+
+    The band matmul burns H/window_size (~75x at Mip-360 sizes) wasted MACs
+    on the zero band and needs 6-pass HIGHEST precision; the explicit
+    stencil is exact f32 on the VPU and XLA fuses each stage's taps into
+    ONE pass over the array, so the cost is ~2 reads + 2 writes of the
+    stack instead of dense [H, H]/[W, W] matmuls."""
+    half = window_size // 2
+    xs = np.arange(window_size, dtype=np.float64)
+    g = np.exp(-np.square(xs - half) / (2.0 * sigma**2))
+    g = (g / g.sum()).astype(np.float32)
+    h, w = stack.shape[-2], stack.shape[-1]
+    xp = jnp.pad(stack, ((0, 0), (half, half), (0, 0)))
+    y = sum(float(g[o]) * xp[:, o:o + h, :] for o in range(window_size))
+    yp = jnp.pad(y, ((0, 0), (0, 0), (half, half)))
+    return sum(float(g[o]) * yp[:, :, o:o + w] for o in range(window_size))
+
+
+_BLUR_METHODS = {"matmul": _blur_matmul, "shifts": _blur_shifts}
+# zero-padded "same" blur, identical values either way (exact f32 stencil vs
+# 6-pass HIGHEST matmul); the stencil measures faster on TPU
+_blur = _blur_shifts
 
 
 def ssim(img1: jnp.ndarray, img2: jnp.ndarray, window_size: int = 11) -> jnp.ndarray:
