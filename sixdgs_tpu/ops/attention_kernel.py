@@ -8,27 +8,29 @@ identification_module.py:82):
     logits   = Q K^T / sqrt(d), padded rays -> -9e15
     score_j  = sum_{p in patch_mask} softmax_row_p(logits)_j
 
-The k-projection runs ONCE as an XLA matmul (MXU-peak [N, d] x [d, d]); the
-kernels stream the projected K. At the production shapes (B=2048, P=256,
-d=384) the per-block k-projection costs 3x the logits matmul, so hoisting it
-out of the 4 (pass, kernel) combinations removes ~60% of the forward kernel
-FLOPs and ~30% of the backward's for the same HBM traffic (K replaces the
-feats stream).
+On the INFERENCE path the k-projection runs ONCE as an XLA matmul (MXU-peak
+[N, d] x [d, d]) and the kernel streams the projected K: at the production
+shapes (B=2048, P=256, d=384) the per-block k-projection costs 3x the logits
+matmul, so hoisting it out of both passes removes ~60% of the forward kernel
+FLOPs for the same HBM traffic (K replaces the feats stream; the transient
+[N, d] buffer is irrelevant when nothing is differentiated).
 
-Two streaming passes over K blocks with online max/sum-exp stats kept in
+Two streaming passes over ray blocks with online max/sum-exp stats kept in
 VMEM scratch (flash-attention style, but the reduction axis is the ray axis
 and the output is per-ray column sums): pass 0 accumulates per-patch
 (max, sum-exp), pass 1 re-computes each logits block on the MXU and emits the
-masked column sums. HBM traffic is K twice + O(N) outputs — the
-[256 x N] logits never hit HBM.
+masked column sums. HBM traffic is one [N, d] stream twice + O(N) outputs —
+the [256 x N] logits never hit HBM.
 
 DIFFERENTIABLE: ``attention_scores_fused`` carries a custom VJP whose
 backward is a second streaming kernel (pass 0 accumulates the per-patch
 softmax-jacobian row sums c_p = sum_j P_pj g_j; pass 1 recomputes each
 probs block and emits dfeats while accumulating dq/dWk/dbk in VMEM), so
 training at Mip-360 ray counts never materializes the [256 x N] logits
-either. Forward stats (m, s) and the projected K are saved as residuals —
-the backward's two passes never re-project K.
+either. Forward stats (m, s) are saved as [P, 1] residuals. The TRAINED
+path keeps the k-projection IN-KERNEL on both sides: a stored K residual
+would be an [N, d] f32 buffer LARGER than the [P, N] logits at d=384,
+forfeiting the tested streaming-memory property for a ~30% FLOP cut.
 
 MXU precision modes (``mode``):
   * "f32"         — plain f32 matmuls (v5e MXU runs f32 at ~1/4 bf16 rate),
@@ -80,23 +82,11 @@ _DN_TN = (((0,), (0,)), ((), ()))  # a^T @ b
 _DN_NT = (((1,), (1,)), ((), ()))  # a @ b^T
 
 
-def _fwd_kernel(mode, q_ref, k_ref, pmask_ref, valid_ref,
-                out_ref, m_ref, s_ref, m_scr, s_scr):
-    p = pl.program_id(0)
-    b = pl.program_id(1)
-
-    @pl.when((p == 0) & (b == 0))
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        s_scr[:] = jnp.zeros_like(s_scr)
-
-    # K is projected ONCE outside the kernel (one [N, d] x [d, d] XLA matmul
-    # at MXU peak) instead of once per (pass, block): the k-projection is
-    # B*d/P = 3x the logits matmul's MACs per block at the production shapes,
-    # so hoisting it removes ~60% of the kernel FLOPs for one extra [N, d]
-    # HBM stream (which replaces the feats stream — net traffic unchanged)
-    d = q_ref.shape[-1]
-    logits = _dot(q_ref[:], k_ref[:], mode, _DN_NT) / math.sqrt(d)
+def _softmax_colsums(mode, logits, pmask_ref, valid_ref, out_ref, m_ref,
+                     s_ref, m_scr, s_scr, p, b):
+    """Shared two-pass online-softmax column-sum body over one logits block
+    (pass 0 accumulates per-patch max/sum-exp; pass 1 emits masked column
+    sums and flushes the stats at the last block)."""
     logits = jnp.where(valid_ref[:] > 0.0, logits, NEG)  # [P, B]
 
     @pl.when(p == 0)
@@ -121,7 +111,50 @@ def _fwd_kernel(mode, q_ref, k_ref, pmask_ref, valid_ref,
             s_ref[:] = s_scr[:]
 
 
-def _bwd_kernel(mode, q_ref, k_ref, feats_ref, wk_ref, pmask_ref, valid_ref,
+def _fwd_kernel(mode, q_ref, k_ref, pmask_ref, valid_ref,
+                out_ref, m_ref, s_ref, m_scr, s_scr):
+    """INFERENCE forward: K is projected ONCE outside the kernel (one
+    [N, d] x [d, d] XLA matmul at MXU peak) instead of once per
+    (pass, block) — the k-projection is B/P = 3-8x the logits matmul's MACs
+    per block at production shapes, so hoisting it removes ~60% of the
+    kernel FLOPs for the same HBM traffic (K replaces the feats stream).
+    The TRAINED path keeps in-kernel projection (_fwd_kernel_train): a
+    materialized K is an [N, d] f32 buffer LARGER than the [P, N] logits at
+    d=384, which would forfeit the tested streaming-memory property."""
+    p = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when((p == 0) & (b == 0))
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    d = q_ref.shape[-1]
+    logits = _dot(q_ref[:], k_ref[:], mode, _DN_NT) / math.sqrt(d)
+    _softmax_colsums(mode, logits, pmask_ref, valid_ref, out_ref, m_ref,
+                     s_ref, m_scr, s_scr, p, b)
+
+
+def _fwd_kernel_train(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref,
+                      valid_ref, out_ref, m_ref, s_ref, m_scr, s_scr):
+    """TRAINING forward: per-block in-kernel k-projection so no [N, d] K
+    buffer is ever materialized (see _fwd_kernel)."""
+    p = pl.program_id(0)
+    b = pl.program_id(1)
+
+    @pl.when((p == 0) & (b == 0))
+    def _():
+        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
+        s_scr[:] = jnp.zeros_like(s_scr)
+
+    k = _dot(feats_ref[:], wk_ref[:], mode) + bk_ref[:]  # [B, d]
+    d = q_ref.shape[-1]
+    logits = _dot(q_ref[:], k, mode, _DN_NT) / math.sqrt(d)
+    _softmax_colsums(mode, logits, pmask_ref, valid_ref, out_ref, m_ref,
+                     s_ref, m_scr, s_scr, p, b)
+
+
+def _bwd_kernel(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref,
                 m_ref, s_ref, g_ref, dfeats_ref, dq_ref, dwk_ref, dbk_ref,
                 c_scr, dq_scr, dwk_scr, dbk_scr):
     p = pl.program_id(0)
@@ -134,10 +167,12 @@ def _bwd_kernel(mode, q_ref, k_ref, feats_ref, wk_ref, pmask_ref, valid_ref,
         dwk_scr[:] = jnp.zeros_like(dwk_scr)
         dbk_scr[:] = jnp.zeros_like(dbk_scr)
 
-    # K arrives as the forward's residual — no k-projection recompute in
-    # either backward pass (was 2 extra [B, d] x [d, d] matmuls per block)
+    # in-kernel k-projection (not a residual): storing K would cost an
+    # [N, d] f32 buffer bigger than the [P, N] logits at d=384 (see
+    # _fwd_kernel docstring)
+    k = _dot(feats_ref[:], wk_ref[:], mode) + bk_ref[:]  # [B, d]
     d = q_ref.shape[-1]
-    logits = _dot(q_ref[:], k_ref[:], mode, _DN_NT) / math.sqrt(d)
+    logits = _dot(q_ref[:], k, mode, _DN_NT) / math.sqrt(d)
     logits = jnp.where(valid_ref[:] > 0.0, logits, NEG)
     probs = jnp.exp(logits - m_ref[:]) / s_ref[:]  # [P, B]
     g = g_ref[:]  # [1, B] upstream score cotangents
@@ -154,7 +189,7 @@ def _bwd_kernel(mode, q_ref, k_ref, feats_ref, wk_ref, pmask_ref, valid_ref,
         dlog = pmask_ref[:] * probs * (g - c_scr[:]) * (1.0 / math.sqrt(d))
         dk = _dot(dlog, q_ref[:], mode, _DN_TN)  # [B, d]
         dfeats_ref[:] = _dot(dk, wk_ref[:], mode, _DN_NT)  # [B, d]
-        dq_scr[:] = dq_scr[:] + _dot(dlog, k_ref[:], mode)  # [P, d]
+        dq_scr[:] = dq_scr[:] + _dot(dlog, k, mode)  # [P, d]
         dwk_scr[:] = dwk_scr[:] + _dot(feats_ref[:], dk, mode, _DN_TN)
         dbk_scr[:] = dbk_scr[:] + jnp.sum(dk, axis=0, keepdims=True)
 
@@ -206,8 +241,48 @@ def _fused_fwd_call(q, k_all, pmask, valid, block, interpret, mode):
     return out, m, s
 
 
+def _fused_fwd_call_train(q, ray_feats, wk, bk, pmask, valid, block,
+                          interpret, mode):
+    """Training-path forward: in-kernel k-projection, no K buffer."""
+    P, d = q.shape
+    N = ray_feats.shape[0]
+    nb = N // block
+    out, m, s = pl.pallas_call(
+        functools.partial(_fwd_kernel_train, mode),
+        grid=(2, nb),
+        in_specs=[
+            pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda p, b: (0,), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((1, N), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+            jax.ShapeDtypeStruct((P, 1), jnp.float32),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((P, 1), jnp.float32),
+            pltpu.VMEM((P, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(q, ray_feats, wk, bk, pmask, valid)
+    return out, m, s
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _fused_scores(q, ray_feats, wk, bk, pmask, valid, block, interpret, mode):
+    # inference primal: hoisted K (transient [N, d] buffer is fine when
+    # nothing is being differentiated; ~60% fewer kernel FLOPs)
     k_all = _project_k(ray_feats, wk, bk, mode)
     out, _, _ = _fused_fwd_call(q, k_all, pmask, valid, block,
                                 interpret, mode)
@@ -216,15 +291,16 @@ def _fused_scores(q, ray_feats, wk, bk, pmask, valid, block, interpret, mode):
 
 def _fused_scores_fwd(q, ray_feats, wk, bk, pmask, valid, block, interpret,
                       mode):
-    k_all = _project_k(ray_feats, wk, bk, mode)
-    out, m, s = _fused_fwd_call(q, k_all, pmask, valid, block,
-                                interpret, mode)
-    # K rides as a residual so the backward's two passes never re-project
-    return out[0], (q, k_all, ray_feats, wk, pmask, valid, m, s)
+    # trained path: in-kernel projection on BOTH sides so peak temp stays
+    # O(block) — a stored K residual would be an [N, d] f32 buffer LARGER
+    # than the [P, N] logits the streaming design exists to avoid
+    out, m, s = _fused_fwd_call_train(q, ray_feats, wk, bk, pmask, valid,
+                                      block, interpret, mode)
+    return out[0], (q, ray_feats, wk, bk, pmask, valid, m, s)
 
 
 def _fused_scores_bwd(block, interpret, mode, res, g):
-    q, k_all, ray_feats, wk, pmask, valid, m, s = res
+    q, ray_feats, wk, bk, pmask, valid, m, s = res
     P, d = q.shape
     N = ray_feats.shape[0]
     nb = N // block
@@ -235,8 +311,8 @@ def _fused_scores_bwd(block, interpret, mode, res, g):
         in_specs=[
             pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((d, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((d,), lambda p, b: (0,), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
             pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
@@ -264,7 +340,7 @@ def _fused_scores_bwd(block, interpret, mode, res, g):
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(q, k_all, ray_feats, wk, pmask, valid, m, s, g2)
+    )(q, ray_feats, wk, bk, pmask, valid, m, s, g2)
     # pmask/valid are data masks, not differentiable inputs
     return dq, dfeats, dwk, dbk[0], None, None
 
