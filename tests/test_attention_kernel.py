@@ -96,6 +96,27 @@ class TestFusedAttentionVJP:
         g = jnp.asarray(rng.normal(size=N).astype(np.float32))
         return q, feats, wk, bk, pmask, jnp.asarray(valid), g
 
+    def test_inference_and_train_forwards_agree(self):
+        """The INFERENCE primal hoists the k-projection out of the kernel
+        (one XLA matmul + projected-K streaming) while the TRAINED path
+        projects in-kernel per block (keeping the O(block) temp bound).
+        Same math, different matmul association — the two forwards must
+        agree to fp-reassociation tolerance."""
+        q, feats, wk, bk, pmask, valid, g = self._problem()
+
+        def loss(q, feats, wk, bk):
+            s = attention_scores_fused(q, feats, wk, bk, pmask, valid,
+                                       block=128, interpret=True)
+            return jnp.sum(s * g), s
+
+        # primal (inference kernel) vs value_and_grad's forward (train kernel)
+        v_inf, s_inf = loss(q, feats, wk, bk)
+        (v_train, s_train), _ = jax.value_and_grad(
+            loss, argnums=0, has_aux=True)(q, feats, wk, bk)
+        np.testing.assert_allclose(np.asarray(s_inf), np.asarray(s_train),
+                                   atol=1e-5, rtol=1e-5)
+        np.testing.assert_allclose(float(v_inf), float(v_train), rtol=1e-5)
+
     def test_gradients_match_jnp(self):
         """Streaming backward kernel == autodiff of the jnp formulation for
         every differentiable input (q, ray feats, Wk, bk)."""
