@@ -301,6 +301,20 @@ def _ring_step(dma, ci, n_chunks, my0):
     return slot
 
 
+def _drain_reads(dma, ci_exit, n_chunks):
+    """Wait the read-ring DMAs still in flight after an early loop exit.
+
+    After processing chunks [0, ci_exit) the issued-but-unconsumed reads are
+    exactly [ci_exit, min(n_chunks, ci_exit + RING - 1)); ci_exit >= 1
+    whenever anything was issued (the loop always runs once), so chunk 0's
+    parity slot is never outstanding and slot = ci mod RING."""
+    for k in range(RING - 1):
+        @pl.when((ci_exit + k < n_chunks) & (ci_exit > 0))
+        def _(k=k):
+            c = ci_exit + k
+            dma(c, jax.lax.rem(c, RING)).wait()
+
+
 def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
                 tbuf, sem):
     t = pl.program_id(0)
@@ -340,11 +354,22 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
     LT0 = jnp.zeros((NPIX, 1), jnp.float32)
     D0 = jnp.zeros((NPIX, 1), jnp.float32)
     C0 = jnp.zeros((NPIX, 3), jnp.float32)
-    _, (LT, _, C) = jax.lax.while_loop(
-        lambda s: s[0] < n_chunks,
-        lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (LT0, D0, C0)),
+
+    # EARLY TILE EXIT (CUDA all-threads-done break): once every pixel has
+    # latched done, every later chunk's carries are frozen and contributions
+    # zero — skipping them is bit-identical. Only the in-flight read ring
+    # needs draining.
+    def loop_step(s):
+        ci, carry, _ = s
+        new = chunk_body(ci, carry)
+        return ci + 1, new, jnp.all(new[1] > 0.5)
+
+    ci_exit, (LT, _, C), _ = jax.lax.while_loop(
+        lambda s: (s[0] < n_chunks) & jnp.logical_not(s[2]),
+        loop_step,
+        (0, (LT0, D0, C0), False),
     )
+    _drain_reads(dma, ci_exit, n_chunks)
     # background composited IN-KERNEL: the kernel's output IS the final tile
     # image, so the XLA side keeps no separate color/trans streams (and the
     # backward needs no dcolor/dtrans plumbing — see S = <d_out, out>)
@@ -497,11 +522,48 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
     LT0 = jnp.zeros((NPIX, 1), jnp.float32)
     D0 = jnp.zeros((NPIX, 1), jnp.float32)
     acc0 = jnp.zeros((NPIX, 1), jnp.float32)
-    jax.lax.while_loop(
-        lambda s: s[0] < n_chunks,
-        lambda s: (s[0] + 1, chunk_body(s[0], s[1])),
-        (0, (LT0, D0, acc0)),
+
+    # EARLY TILE EXIT (CUDA all-threads-done break): once every pixel has
+    # latched done, every remaining pair's gradient row is provably zero
+    # (contribute is false everywhere), so the compute loop stops and a
+    # DMA-only loop streams zero chunks into the remaining slots — the write
+    # ring's chunk indices stay contiguous across the two loops, so the
+    # wait/issue recurrence and the final drain are unchanged.
+    def loop_step(s):
+        ci, carry, _ = s
+        new = chunk_body(ci, carry)
+        return ci + 1, new, jnp.all(new[1] > 0.5)
+
+    ci_exit, _, _ = jax.lax.while_loop(
+        lambda s: (s[0] < n_chunks) & jnp.logical_not(s[2]),
+        loop_step,
+        (0, (LT0, D0, acc0), False),
     )
+    _drain_reads(dma, ci_exit, n_chunks)
+
+    def zero_body(ci, _):
+        gslot = jax.lax.rem(ci, WRING)
+
+        @pl.when(ci >= WRING)
+        def _():
+            dma_w(ci - WRING, gslot).wait()
+
+        # memset each slot only on its first zero-loop visit
+        @pl.when(ci < ci_exit + WRING)
+        def _():
+            gbuf[gslot] = jnp.zeros((COLS, KB), jnp.float32)
+
+        dma_w(ci, gslot).start()
+        return 0
+
+    jax.lax.fori_loop(ci_exit, n_chunks, zero_body, 0)
+
+    @pl.when(ci_exit < n_chunks)
+    def _():
+        # the tile's last written chunk is now all-zero; the next instance's
+        # boundary merge must see that
+        tailbuf[:] = jnp.zeros((COLS, KB), jnp.float32)
+
     # drain outstanding gradient writes before the next instance reads its
     # boundary chunk
     for back in range(WRING, 0, -1):
@@ -591,6 +653,34 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
     return dpairs
 
 
+def _segment_starts(tiles_c: jnp.ndarray, n_tiles: int) -> jnp.ndarray:
+    """starts[t] = first index of tile t in the SORTED compact tile ids
+    (== searchsorted(tiles_c, arange(n_tiles+1)), t = n_tiles giving the
+    real-pair count, sentinels sorting last).
+
+    searchsorted's scan_unrolled form costs ~log2(NC) rounds of [n_tiles+1]
+    SERIAL gather elements from HBM (~1.8 ms at NC=1M). This dense form does
+    one [NB, Q] block-max compare + an MXU column-sum (full blocks strictly
+    below each query) + ONE row gather of each query's boundary block —
+    ~1.3 ms, exact (tools/profile_glue5.py, chained timing)."""
+    nc = tiles_c.shape[0]
+    BS = 128  # nc is a KB=128 multiple by construction
+    nb = nc // BS
+    blk = tiles_c.reshape(nb, BS)
+    bmax = blk[:, -1]  # block maxima (input sorted)
+    q = jnp.arange(n_tiles + 1, dtype=jnp.int32)
+    lt = (bmax[:, None] < q[None, :]).astype(jnp.bfloat16)
+    nfull = jax.lax.dot_general(
+        jnp.ones((1, nb), jnp.bfloat16), lt, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0].astype(jnp.int32)  # 0/1 bf16 inputs, f32 accumulate: exact
+    b = jnp.minimum(nfull, nb - 1)
+    rowsb = blk[b]  # [Q, BS] boundary block of each query
+    part = (rowsb < q[:, None]).sum(axis=1).astype(jnp.int32)
+    inside = nfull < nb
+    return jnp.where(inside, nfull * BS + part, nc).astype(jnp.int32)
+
+
 # ------------------------------------------------------------- full wrapper
 
 
@@ -656,11 +746,19 @@ def _gather_pairs_bwd(res, d):
     # so keeping the planes as sort payloads is the right trade at this
     # table size)
     out = jax.lax.sort((gkey,) + tuple(d[c] for c in range(r)), num_keys=1)
-    cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)  # [NC, 9]
-    cum0 = jnp.concatenate([jnp.zeros((1, r), cum.dtype), cum], axis=0)
-    hi = cum0[jnp.minimum(ends_g, nc)]
-    lo = cum0[jnp.minimum(ends_g - counts_g, nc)]
-    d_rec = hi - lo
+    # per-PLANE 1-D cumsum + boundary gather: the stacked [NC, 9] cumsum
+    # costs 4.2 ms where nine 1-D cumsums cost ~1 ms total (XLA's 2-D cumsum
+    # scans the padded minor axis; the 1-D form stays in the fast layout),
+    # and 1-D boundary gathers beat [NC, 9] row gathers — 5.2 vs 8.4 ms for
+    # the whole route at NC=1M (tools/profile_glue5.py, chained timing)
+    e = jnp.minimum(ends_g, nc)
+    s = jnp.minimum(ends_g - counts_g, nc)
+    planes = []
+    for c in range(r):
+        cum = jnp.cumsum(out[1 + c])
+        cum0 = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])
+        planes.append(cum0[e] - cum0[s])
+    d_rec = jnp.stack(planes, axis=-1)  # [P, 9]
     # truncated step (emitted pairs > NC budget): the boundaries are invalid
     # — drop this step's gradients (the trainer widens nc_pairs on the
     # binning_real_pairs telemetry and retraces)
@@ -752,13 +850,7 @@ def rasterize_pallas(
         tiles_s, gidx_s = jax.lax.sort((tile_ids, gidx_all), num_keys=2)
         tiles_c, gidx_c = tiles_s[:nc], gidx_s[:nc]
 
-    # scan_unrolled: the default 'scan' lowers to a sequential while loop of
-    # ~log2(NC) dependent gather dispatches; unrolling removes the loop
-    # overhead (the queries are only [n_tiles+1])
-    starts = jnp.searchsorted(
-        tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
-        method="scan_unrolled",
-    ).astype(jnp.int32)
+    starts = _segment_starts(tiles_c, n_tiles)
     counts = starts[1:] - starts[:-1]
     ends_g = jnp.cumsum(counts_g).astype(jnp.int32)  # [P] inclusive
 

@@ -108,10 +108,7 @@ def pglue_breakdown(proj, P, W, H, n=20):
 
     @jax.jit
     def stage_layout(tiles_c, counts_g):
-        starts = jnp.searchsorted(
-            tiles_c, jnp.arange(n_tiles + 1, dtype=jnp.int32),
-            method="scan_unrolled",
-        ).astype(jnp.int32)
+        starts = PT._segment_starts(tiles_c, n_tiles)
         return (starts, starts[1:] - starts[:-1],
                 jnp.cumsum(counts_g).astype(jnp.int32))
 
@@ -146,10 +143,14 @@ def pglue_breakdown(proj, P, W, H, n=20):
         gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
         srt = jax.lax.sort(
             (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
-        cum = jnp.cumsum(jnp.stack(srt[1:], axis=-1), axis=0)
-        cum0 = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
-        return cum0[jnp.minimum(ends_g, nc)] - cum0[
-            jnp.minimum(ends_g - counts_g, nc)]
+        e = jnp.minimum(ends_g, nc)
+        s = jnp.minimum(ends_g - counts_g, nc)
+        planes = []
+        for c in range(9):
+            cum = jnp.cumsum(srt[1 + c])
+            cum0 = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])
+            planes.append(cum0[e] - cum0[s])
+        return jnp.stack(planes, axis=-1)
 
     v_real = starts[n_tiles]
     jax.block_until_ready(

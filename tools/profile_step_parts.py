@@ -41,7 +41,10 @@ def make_inputs():
 
 
 def main():
-    from sixdgs_tpu.ops import ssim as ssim_mod
+    # the ops package re-exports the ssim FUNCTION under the same name, so
+    # plain "import ... as" would bind that attribute, not the module
+    import sixdgs_tpu.ops.ssim  # noqa: F401
+    ssim_mod = sys.modules["sixdgs_tpu.ops.ssim"]
     from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
     from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
     from sixdgs_tpu.ops.transforms import build_covariance
