@@ -746,19 +746,19 @@ def _gather_pairs_bwd(res, d):
     # so keeping the planes as sort payloads is the right trade at this
     # table size)
     out = jax.lax.sort((gkey,) + tuple(d[c] for c in range(r)), num_keys=1)
-    # per-PLANE 1-D cumsum + boundary gather: the stacked [NC, 9] cumsum
-    # costs 4.2 ms where nine 1-D cumsums cost ~1 ms total (XLA's 2-D cumsum
-    # scans the padded minor axis; the 1-D form stays in the fast layout),
-    # and 1-D boundary gathers beat [NC, 9] row gathers — 5.2 vs 8.4 ms for
-    # the whole route at NC=1M (tools/profile_glue5.py, chained timing)
-    e = jnp.minimum(ends_g, nc)
-    s = jnp.minimum(ends_g - counts_g, nc)
-    planes = []
-    for c in range(r):
-        cum = jnp.cumsum(out[1 + c])
-        cum0 = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])
-        planes.append(cum0[e] - cum0[s])
-    d_rec = jnp.stack(planes, axis=-1)  # [P, 9]
+    # stacked [NC, 9] cumsum + row gathers. The "nine 1-D cumsums + 1-D
+    # boundary gathers" variant measured 3.4 ms faster in ISOLATION
+    # (tools/profile_glue5.py, 5.1 vs 8.5 ms) but cost +16 ms on the
+    # COMPOSED train step (69.7 vs 53.6 ms, bisected 2026-08-19): inside the
+    # full backward XLA schedules the nine dependent 1-D scans serially
+    # against the surrounding work, where the single [NC, 9] scan + two row
+    # gathers overlap fine. Isolated stage wins must be re-validated through
+    # the composed step before shipping.
+    cum = jnp.cumsum(jnp.stack(out[1:], axis=-1), axis=0)  # [NC, 9]
+    cum0 = jnp.concatenate([jnp.zeros((1, r), cum.dtype), cum], axis=0)
+    hi = cum0[jnp.minimum(ends_g, nc)]
+    lo = cum0[jnp.minimum(ends_g - counts_g, nc)]
+    d_rec = hi - lo
     # truncated step (emitted pairs > NC budget): the boundaries are invalid
     # — drop this step's gradients (the trainer widens nc_pairs on the
     # binning_real_pairs telemetry and retraces)

@@ -238,6 +238,54 @@ class TestPallasHardware:
         np.testing.assert_allclose(np.asarray(g_hw), np.asarray(g_it),
                                    atol=1e-4, rtol=5e-3)
 
+    def test_early_exit_deep_opaque_on_chip(self):
+        """The early tile-exit path on real Mosaic: deep multi-chunk
+        segments of near-opaque gaussians force the all-pixels-done break
+        partway through the segment, exercising the read-ring drain, the
+        zero-fill gradient writes, and the zeroed boundary tail carry —
+        compared against the interpreter (CPU CI has validated the
+        interpreter against the brute model)."""
+        assert jax.default_backend() in ("tpu", "axon")
+        # big overlapping opaque splats: every pixel of the central tiles
+        # saturates after a few chunks while the segments run 4+ chunks deep
+        proj, W, H = random_proj(n=900, width=32, height=32, spread=0.10,
+                                 seed=11)
+        proj = proj._replace(
+            opacities=jnp.minimum(proj.opacities * 6.0 + 0.5, 0.97))
+        bg = jnp.asarray([0.1, 0.5, 0.9])
+        img_hw = np.asarray(jax.jit(
+            lambda p: rasterize_pallas(p, W, H, bg, t_max=16))(proj))
+        img_it = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=16,
+                                             interpret=True))
+        # Latch-flip tolerance: at a=0.97 many lanes sit within rounding
+        # distance of the T*(1-a) < T_EPS stop test, and the HW bf16-split
+        # MXU scan rounds differently from the interpreter, so a boundary
+        # gaussian can flip in/out of contribution — each flip moves a pixel
+        # by <= T_EPS*a/(1-a) ~ 3e-3 (measured max 2.1e-3 over 18% of
+        # pixels). A structural early-exit bug (skipped live chunk, garbage
+        # ring slot, missing tail zero) corrupts pixels at the 0.1-1.0
+        # scale, which these bounds still catch.
+        np.testing.assert_allclose(img_hw, img_it, atol=2e-2)
+        assert np.mean(np.abs(img_hw - img_it) < 1e-4) > 0.5
+
+        tgt = jnp.asarray(np.random.default_rng(9).uniform(
+            size=(3, H, W)).astype(np.float32))
+
+        def loss(params, interpret):
+            colors, opac = params
+            p = proj._replace(colors=colors, opacities=opac)
+            img = rasterize_pallas(p, W, H, bg, t_max=16, interpret=interpret)
+            return jnp.mean(jnp.square(img - tgt))
+
+        prm = (proj.colors, proj.opacities)
+        g_hw = jax.jit(jax.grad(lambda c: loss(c, False)))(prm)
+        g_it = jax.grad(lambda c: loss(c, True))(prm)
+        # same latch-flip allowance as the image check (opacity grads carry
+        # a 1/(1-a) ~ 33x amplification at the stop boundary)
+        for a, b, name in zip(g_hw, g_it, ["colors", "opacities"]):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=2e-3, rtol=2e-2, err_msg=name)
+
 
 class TestEdgeCases:
     @pytest.mark.parametrize("case", ["empty", "all_culled", "single"])

@@ -143,14 +143,12 @@ def pglue_breakdown(proj, P, W, H, n=20):
         gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
         srt = jax.lax.sort(
             (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
-        e = jnp.minimum(ends_g, nc)
-        s = jnp.minimum(ends_g - counts_g, nc)
-        planes = []
-        for c in range(9):
-            cum = jnp.cumsum(srt[1 + c])
-            cum0 = jnp.concatenate([jnp.zeros((1,), cum.dtype), cum])
-            planes.append(cum0[e] - cum0[s])
-        return jnp.stack(planes, axis=-1)
+        # stacked-cumsum routing (mirrors production _gather_pairs_bwd; the
+        # per-plane 1-D variant wins in isolation but loses 16 ms composed)
+        cum = jnp.cumsum(jnp.stack(srt[1:], axis=-1), axis=0)  # [NC, 9]
+        cum0 = jnp.concatenate([jnp.zeros((1, 9), cum.dtype), cum], axis=0)
+        return cum0[jnp.minimum(ends_g, nc)] - cum0[
+            jnp.minimum(ends_g - counts_g, nc)]
 
     v_real = starts[n_tiles]
     jax.block_until_ready(
@@ -289,9 +287,12 @@ def main():
         except Exception as e:
             print(f"raster[{rast}] FAILED: {type(e).__name__}: {e}")
 
-    if want("step"):
+    if want("step") or want("step_pallas"):
         lrs = lr_dict(OptimizationConfig(), 1.0, 1000)
-        for rast in ("tiled", "pallas"):
+        rasts = ("pallas",) if (stages and "step_pallas" in stages
+                                and "step" not in stages) else (
+            "tiled", "pallas")
+        for rast in rasts:
             stt = init_train_state(make_scene(args.P))
             def stp(s):
                 s2, m = train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
