@@ -166,7 +166,7 @@ def bench_raster_stages(P=131072, W=1232, H=816):
     import profile_raster as PR
 
     from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
-    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.ops.transforms import covariance_planes
     from sixdgs_tpu.scene.cameras import make_synthetic_camera
     from sixdgs_tpu.train.gs_trainer import camera_arrays
 
@@ -179,7 +179,7 @@ def bench_raster_stages(P=131072, W=1232, H=816):
     @jax.jit
     def proj_fn(params):
         scaling = jnp.exp(params["scaling"])
-        cov3d = build_covariance(scaling, params["rotation"])
+        cov3d = covariance_planes(scaling, params["rotation"])
         opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
         sh = jnp.concatenate(
             [params["features_dc"], params["features_rest"]], axis=1)
@@ -199,7 +199,7 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
     the [16, N] record planes streamed once + per-tile color/trans outputs."""
     from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
     from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
-    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.ops.transforms import covariance_planes
     from sixdgs_tpu.scene.cameras import make_synthetic_camera
     from sixdgs_tpu.train.gs_trainer import camera_arrays
 
@@ -208,7 +208,7 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
     scaling = np.exp(rng.uniform(-5.2, -3.0, size=(P, 3)).astype(np.float32))
     rot = rng.normal(size=(P, 4)).astype(np.float32)
     opac = (1 / (1 + np.exp(-rng.uniform(-2, 2, size=P)))).astype(np.float32)
-    cov3d = build_covariance(jnp.asarray(scaling), jnp.asarray(rot))
+    cov3d = covariance_planes(jnp.asarray(scaling), jnp.asarray(rot))
     cam = make_synthetic_camera(W, H, 0.9, 0.65, np.eye(3), np.zeros(3))
     ca = camera_arrays(cam)
     colors = jnp.asarray(rng.uniform(size=(P, 3)).astype(np.float32))

@@ -78,6 +78,17 @@ mean rows (f32 throughout — no bf16 split is involved anymore).
 
 Replaces the diff-gaussian-rasterization CUDA submodule (interface
 reconstructed from /root/reference/gaussian_renderer/__init__.py:36-93).
+
+REJECTED optimization (round 4, measured on HW — do not retry): moving the
+per-pixel quadratic onto the MXU by expanding power(px, py) into tile-pixel
+monomials (one [NPIX, 8] basis x [8, KB] split-bf16 coefficient matmul
+replacing the dx/dy VPU passes). Numerically unsound: the monomial
+coefficients scale with conA*xs^2 (xs = mean-to-tile-origin distance, large
+for far-overlapping pairs), so individual products reach ~1e3-1e4 while
+cancelling to |power| <= ~13 on contributing pixels — f32 accumulation error
+~1e-3 per pair, compounding over deep segments to 0.05-0.58 image error vs
+the interpreter (3 HW tests failed). The dx-form below is small-operand by
+construction: A*dx^2 is only large where alpha is already ~0.
 """
 
 from __future__ import annotations

@@ -20,8 +20,8 @@ from typing import NamedTuple, Optional
 
 import jax.numpy as jnp
 
-from sixdgs_tpu.ops.sh import sh_to_color
-from sixdgs_tpu.ops.transforms import build_covariance
+from sixdgs_tpu.ops.sh import eval_sh_planes
+from sixdgs_tpu.ops.transforms import covariance_planes
 
 # The CUDA rasterizer culls at view-space depth 0.2 (forward.cu in_frustum).
 NEAR_CULL = 0.2
@@ -71,68 +71,92 @@ def project_gaussians(
 
     Returns:
         ProjectedGaussians with radii == 0 for culled entries.
+
+    TPU layout note: every intermediate is a flat [P] plane. The natural
+    [P, 2, 3] / [P, 3, 3] matrix forms put a 2- or 3-wide axis in the minor
+    (lane) dimension, so each fused elementwise op runs at 2-3/128 lane
+    utilization; measured on v5e this stage was 7.0 ms fwd+bwd at P=131k.
+    The matrix products (J @ W, T Sigma T^T) are expanded symbolically into
+    scalar FMAs on [P] planes instead.
     """
     P = means3d.shape[0]
     focal_x = width / (2.0 * tan_fovx)
     focal_y = height / (2.0 * tan_fovy)
 
-    ones = jnp.ones((P, 1), means3d.dtype)
-    hom = jnp.concatenate([means3d, ones], axis=-1)  # [P, 4]
-    t = hom @ view.T  # [P, 4] view-space
-    tz = t[:, 2]
+    mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
+    if isinstance(cov3d, (tuple, list)):
+        cxx, cxy, cxz, cyy, cyz, czz = cov3d
+    elif cov3d.ndim == means3d.ndim + 1 and cov3d.shape[-1] == 6:
+        cxx, cxy, cxz, cyy, cyz, czz = (cov3d[..., i] for i in range(6))
+    else:
+        cxx, cxy, cxz = cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2]
+        cyy, cyz, czz = cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2]
+
+    def _rowdot(M, k):
+        # [P] plane of (means3d_hom @ M.T)[:, k]
+        return mx * M[k, 0] + my * M[k, 1] + mz * M[k, 2] + M[k, 3]
+
+    tx = _rowdot(view, 0)
+    ty = _rowdot(view, 1)
+    tz = _rowdot(view, 2)
     in_front = tz > NEAR_CULL
 
     # frustum-clamped view coords feeding the Jacobian
     safe_tz = jnp.where(jnp.abs(tz) < 1e-6, 1e-6, tz)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
-    txz = jnp.clip(t[:, 0] / safe_tz, -limx, limx) * safe_tz
-    tyz = jnp.clip(t[:, 1] / safe_tz, -limy, limy) * safe_tz
+    txz = jnp.clip(tx / safe_tz, -limx, limx) * safe_tz
+    tyz = jnp.clip(ty / safe_tz, -limy, limy) * safe_tz
     z2 = jnp.square(safe_tz)
 
-    # EWA Jacobian (2x3) and T = J @ W
-    zeros = jnp.zeros_like(tz)
-    J = jnp.stack(
-        [
-            jnp.stack([focal_x / safe_tz, zeros, -(focal_x * txz) / z2], axis=-1),
-            jnp.stack([zeros, focal_y / safe_tz, -(focal_y * tyz) / z2], axis=-1),
-        ],
-        axis=-2,
-    )  # [P, 2, 3]
+    # EWA Jacobian rows J0 = (fx/tz, 0, -fx*txz/z2), J1 = (0, fy/tz,
+    # -fy*tyz/z2); T = J @ W expanded against the scalar entries of W
     W = view[:3, :3]
-    T = J @ W[None]  # [P, 2, 3]
-    cov2d = T @ cov3d @ jnp.swapaxes(T, -1, -2)  # [P, 2, 2]
-    cov2d = cov2d + LOW_PASS * jnp.eye(2, dtype=cov2d.dtype)
+    j00 = focal_x / safe_tz
+    j02 = -(focal_x * txz) / z2
+    j11 = focal_y / safe_tz
+    j12 = -(focal_y * tyz) / z2
+    T00 = j00 * W[0, 0] + j02 * W[2, 0]
+    T01 = j00 * W[0, 1] + j02 * W[2, 1]
+    T02 = j00 * W[0, 2] + j02 * W[2, 2]
+    T10 = j11 * W[1, 0] + j12 * W[2, 0]
+    T11 = j11 * W[1, 1] + j12 * W[2, 1]
+    T12 = j11 * W[1, 2] + j12 * W[2, 2]
 
-    a = cov2d[:, 0, 0]
-    b = cov2d[:, 0, 1]
-    c = cov2d[:, 1, 1]
+    # cov2d = T Sigma T^T + LOW_PASS*I, expanded over the 6 Sigma planes
+    a = (T00 * (T00 * cxx + T01 * cxy + T02 * cxz)
+         + T01 * (T00 * cxy + T01 * cyy + T02 * cyz)
+         + T02 * (T00 * cxz + T01 * cyz + T02 * czz)) + LOW_PASS
+    b = (T10 * (T00 * cxx + T01 * cxy + T02 * cxz)
+         + T11 * (T00 * cxy + T01 * cyy + T02 * cyz)
+         + T12 * (T00 * cxz + T01 * cyz + T02 * czz))
+    c = (T10 * (T10 * cxx + T11 * cxy + T12 * cxz)
+         + T11 * (T10 * cxy + T11 * cyy + T12 * cyz)
+         + T12 * (T10 * cxz + T11 * cyz + T12 * czz)) + LOW_PASS
+
     det = a * c - b * b
     det_valid = det > 0.0
     safe_det = jnp.where(det_valid, det, 1.0)
-    conics = jnp.stack([c / safe_det, -b / safe_det, a / safe_det], axis=-1)
+    inv_det = 1.0 / safe_det
+    con_a, con_b, con_c = c * inv_det, -b * inv_det, a * inv_det
 
     mid = 0.5 * (a + c)
     lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     radius = jnp.ceil(3.0 * jnp.sqrt(lambda1))
 
     # pixel centers: ndc -> ((ndc + 1) * size - 1) / 2 (CUDA ndc2Pix)
-    p_hom = hom @ full_proj.T
-    p_w = 1.0 / (p_hom[:, 3] + 1e-7)
-    ndc = p_hom[:, :3] * p_w[:, None]
-    means2d = jnp.stack(
-        [
-            ((ndc[:, 0] + 1.0) * width - 1.0) * 0.5,
-            ((ndc[:, 1] + 1.0) * height - 1.0) * 0.5,
-        ],
-        axis=-1,
-    )
+    p0 = _rowdot(full_proj, 0)
+    p1 = _rowdot(full_proj, 1)
+    p3 = _rowdot(full_proj, 3)
+    p_w = 1.0 / (p3 + 1e-7)
+    m2x = ((p0 * p_w + 1.0) * width - 1.0) * 0.5
+    m2y = ((p1 * p_w + 1.0) * height - 1.0) * 0.5
 
     # visibility: in frustum, positive-definite cov, overlapping the screen
     on_screen = (
-        (means2d[:, 0] + radius > 0)
-        & (means2d[:, 0] - radius < width)
-        & (means2d[:, 1] + radius > 0)
-        & (means2d[:, 1] - radius < height)
+        (m2x + radius > 0)
+        & (m2x - radius < width)
+        & (m2y + radius > 0)
+        & (m2y - radius < height)
     )
     visible = in_front & det_valid & on_screen
     if active is not None:
@@ -147,17 +171,22 @@ def project_gaussians(
         dirs = dirs / jnp.maximum(
             jnp.linalg.norm(dirs, axis=-1, keepdims=True), 1e-12
         )
-        # sh layout [P, n_coeffs, 3] -> eval over channel-last
-        colors = sh_to_color(sh_degree, jnp.swapaxes(sh, -1, -2), dirs)
+        # plane-major eval straight off the [P, n_coeffs, 3] storage layout
+        # (bitwise-equal to sh_to_color on the swapaxes view)
+        colors = jnp.maximum(eval_sh_planes(sh_degree, sh, dirs) + 0.5, 0.0)
 
     opac = opacities.reshape(P)
+
     # sanitize culled entries: degenerate projections (behind camera, singular
     # cov, diverged params) can carry NaN/Inf means/conics; zero opacity alone
     # does not stop NaN propagation through alpha = opac * exp(power)
-    safe2d = jnp.where(visible[:, None], means2d, 0.0)
-    safe2d = jnp.where(jnp.isfinite(safe2d), safe2d, 0.0)
-    safe_con = jnp.where(visible[:, None], conics, jnp.asarray([[1.0, 0.0, 1.0]]))
-    safe_con = jnp.where(jnp.isfinite(safe_con), safe_con, 1.0)
+    def _safe(plane, fill):
+        plane = jnp.where(visible, plane, fill)
+        return jnp.where(jnp.isfinite(plane), plane, fill)
+
+    safe2d = jnp.stack([_safe(m2x, 0.0), _safe(m2y, 0.0)], axis=-1)
+    safe_con = jnp.stack(
+        [_safe(con_a, 1.0), _safe(con_b, 0.0), _safe(con_c, 1.0)], axis=-1)
     safe_col = jnp.where(jnp.isfinite(colors), colors, 0.0)
     safe_opac = jnp.where(visible & jnp.isfinite(opac), opac, 0.0)
     return ProjectedGaussians(
@@ -184,7 +213,7 @@ def project_scene(scene, camera, scaling_modifier: float = 1.0,
     import math
 
     deg = scene.max_sh_degree if sh_degree is None else sh_degree
-    cov3d = build_covariance(scene.get_scaling, scene.rotation, scaling_modifier)
+    cov3d = covariance_planes(scene.get_scaling, scene.rotation, scaling_modifier)
     proj = project_gaussians(
         scene.xyz,
         cov3d,

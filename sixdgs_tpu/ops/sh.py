@@ -102,6 +102,75 @@ def eval_sh(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
     return result
 
 
+def sh_basis_planes(deg: int, x, y, z):
+    """The per-coefficient SH basis factors as (deg+1)**2 flat planes.
+
+    Same coefficient constants and factorization as ``eval_sh`` — each entry
+    b_k is exactly the factor that multiplies ``sh[..., k]`` there, so a
+    per-channel sum in the same k order reproduces ``eval_sh`` bitwise."""
+    one = jnp.ones_like(x)
+    basis = [C0 * one]
+    if deg > 0:
+        basis += [-C1 * y, C1 * z, -C1 * x]
+        if deg > 1:
+            xx, yy, zz = x * x, y * y, z * z
+            xy, yz, xz = x * y, y * z, x * z
+            basis += [
+                C2[0] * xy,
+                C2[1] * yz,
+                C2[2] * (2.0 * zz - xx - yy),
+                C2[3] * xz,
+                C2[4] * (xx - yy),
+            ]
+            if deg > 2:
+                basis += [
+                    C3[0] * y * (3 * xx - yy),
+                    C3[1] * xy * z,
+                    C3[2] * y * (4 * zz - xx - yy),
+                    C3[3] * z * (2 * zz - 3 * xx - 3 * yy),
+                    C3[4] * x * (4 * zz - xx - yy),
+                    C3[5] * z * (xx - yy),
+                    C3[6] * x * (xx - 3 * yy),
+                ]
+                if deg > 3:
+                    basis += [
+                        C4[0] * xy * (xx - yy),
+                        C4[1] * yz * (3 * xx - yy),
+                        C4[2] * xy * (7 * zz - 1),
+                        C4[3] * yz * (7 * zz - 3),
+                        C4[4] * (zz * (35 * zz - 30) + 3),
+                        C4[5] * xz * (7 * zz - 3),
+                        C4[6] * (xx - yy) * (7 * zz - 1),
+                        C4[7] * xz * (xx - 3 * yy),
+                        C4[8] * (xx * (xx - 3 * yy) - yy * (3 * xx - yy)),
+                    ]
+    return basis
+
+
+def eval_sh_planes(deg: int, sh: jnp.ndarray, dirs: jnp.ndarray) -> jnp.ndarray:
+    """TPU plane-major twin of ``eval_sh`` for sh in the STORAGE layout
+    [P, n_coeffs, C] (channel-minor — note the opposite coefficient/channel
+    order vs ``eval_sh``, which wants [..., C, n_coeffs]).
+
+    ``eval_sh`` slices [P, C] arrays per coefficient: with C=3 in the minor
+    (lane) dimension every fused op runs at 3/128 lane utilization. Here the
+    coefficient table is transposed ONCE to [n_coeffs*C, P] and all math runs
+    on flat [P] planes at full lanes; per-channel accumulation follows the
+    identical k order, so values match ``eval_sh`` bitwise."""
+    P, C = sh.shape[0], sh.shape[2]
+    coeff = (deg + 1) ** 2
+    assert sh.shape[1] >= coeff
+    basis = sh_basis_planes(deg, dirs[:, 0], dirs[:, 1], dirs[:, 2])
+    st = sh[:, :coeff, :].reshape(P, coeff * C).T  # [coeff*C, P]
+    cols = []
+    for c in range(C):
+        acc = basis[0] * st[c]
+        for k in range(1, coeff):
+            acc = acc + basis[k] * st[k * C + c]
+        cols.append(acc)
+    return jnp.stack(cols, axis=-1)
+
+
 def rgb_to_sh(rgb: jnp.ndarray) -> jnp.ndarray:
     """RGB in [0,1] -> DC SH coefficient (reference RGB2SH, sh_utils.py:121)."""
     return (rgb - 0.5) / C0

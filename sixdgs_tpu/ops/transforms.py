@@ -67,12 +67,47 @@ def strip_symmetric(sym: jnp.ndarray) -> jnp.ndarray:
     )
 
 
+def quat_rotmat_planes(q: jnp.ndarray):
+    """Rotation-matrix entries as nine [...] scalar planes.
+
+    TPU layout note: the stacked [..., 3, 3] form of ``quat_to_rotmat`` puts
+    a 3-wide axis in the minor (lane) dimension, so every downstream
+    elementwise op runs at 3/128 lane utilization. Keeping each entry as its
+    own [...]-shaped plane lets XLA iterate the full [P] space with full
+    lanes. Same math, same normalization guard."""
+    norm = jnp.sqrt(jnp.sum(q * q, axis=-1, keepdims=True))
+    q = q / jnp.maximum(norm, 1e-12)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    return (
+        (1 - 2 * (y * y + z * z), 2 * (x * y - r * z), 2 * (x * z + r * y)),
+        (2 * (x * y + r * z), 1 - 2 * (x * x + z * z), 2 * (y * z - r * x)),
+        (2 * (x * z - r * y), 2 * (y * z + r * x), 1 - 2 * (x * x + y * y)),
+    )
+
+
+def covariance_planes(
+    scaling: jnp.ndarray, q: jnp.ndarray, scaling_modifier: float | jnp.ndarray = 1.0
+):
+    """Sigma = L L^T with L = R diag(s), as six [...] planes
+    (xx, xy, xz, yy, yz, zz) — the plane-major form of ``build_covariance``
+    (gaussian_model.py:37-39) used by the projection hot path."""
+    R = quat_rotmat_planes(q)
+    s = scaling_modifier * scaling
+    s0, s1, s2 = s[..., 0], s[..., 1], s[..., 2]
+    L = tuple(tuple(R[i][j] * (s0, s1, s2)[j] for j in range(3)) for i in range(3))
+
+    def sig(i, j):
+        return L[i][0] * L[j][0] + L[i][1] * L[j][1] + L[i][2] * L[j][2]
+
+    return sig(0, 0), sig(0, 1), sig(0, 2), sig(1, 1), sig(1, 2), sig(2, 2)
+
+
 def build_covariance_6(
     scaling: jnp.ndarray, q: jnp.ndarray, scaling_modifier: float | jnp.ndarray = 1.0
 ) -> jnp.ndarray:
     """Covariance as 6-vector, the rasterizer's packed form
     (gaussian_model.py:30-34)."""
-    return strip_symmetric(build_covariance(scaling, q, scaling_modifier))
+    return jnp.stack(covariance_planes(scaling, q, scaling_modifier), axis=-1)
 
 
 def unpack_covariance_6(cov6: jnp.ndarray) -> jnp.ndarray:

@@ -27,7 +27,7 @@ from flax import struct
 from sixdgs_tpu.ops.rasterizer import rasterize_scan
 from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
 from sixdgs_tpu.ops.ssim import dssim_l1_loss, psnr, l1_loss
-from sixdgs_tpu.ops.transforms import build_covariance, inverse_sigmoid
+from sixdgs_tpu.ops.transforms import covariance_planes, inverse_sigmoid
 from sixdgs_tpu.scene.gaussians import (
     GaussianScene,
     PARAM_NAMES,
@@ -128,7 +128,7 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
     rasterizer = resolve_rasterizer(rasterizer)
     t_max, mid_k, t_max_mid, overflow_k, t_max_big = tiers
     scaling = jnp.exp(params["scaling"])
-    cov3d = build_covariance(scaling, params["rotation"])
+    cov3d = covariance_planes(scaling, params["rotation"])
     opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
     sh = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
     proj = project_gaussians(

@@ -184,7 +184,7 @@ def main():
     from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
     from sixdgs_tpu.ops.rasterizer import tiles as T
     from sixdgs_tpu.ops.ssim import dssim_l1_loss
-    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.ops.transforms import covariance_planes
     from sixdgs_tpu.scene.cameras import make_synthetic_camera
     from sixdgs_tpu.train.gs_trainer import (
         camera_arrays, init_train_state, train_step, lr_dict,
@@ -209,7 +209,7 @@ def main():
     @jax.jit
     def proj_fn(params):
         scaling = jnp.exp(params["scaling"])
-        cov3d = build_covariance(scaling, params["rotation"])
+        cov3d = covariance_planes(scaling, params["rotation"])
         opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
         sh = jnp.concatenate([params["features_dc"], params["features_rest"]], axis=1)
         return project_gaussians(

@@ -47,7 +47,7 @@ def main():
     ssim_mod = sys.modules["sixdgs_tpu.ops.ssim"]
     from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
     from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
-    from sixdgs_tpu.ops.transforms import build_covariance
+    from sixdgs_tpu.ops.transforms import covariance_planes
     from sixdgs_tpu.train.optim import adam_init, adam_update
 
     scene, ca = make_inputs()
@@ -60,7 +60,7 @@ def main():
     def proj_fb(params):
         def f(params):
             scaling = jnp.exp(params["scaling"])
-            cov3d = build_covariance(scaling, params["rotation"])
+            cov3d = covariance_planes(scaling, params["rotation"])
             opacity = jax.nn.sigmoid(params["opacity"]) * active[:, None]
             sh = jnp.concatenate(
                 [params["features_dc"], params["features_rest"]], axis=1)
