@@ -310,9 +310,13 @@ def bench_train_step(P=131072, W=1232, H=816):
     def step(s):
         # explicitly "pallas", not "auto": a broken Pallas path must FAIL
         # the bench (surface as gs_train_step_ms: error), never silently
-        # report the 3x slower tiled fallback as the headline
+        # report the 3x slower tiled fallback as the headline.
+        # with_telemetry=False is the production common case (the run loop
+        # samples telemetry on adaptation/logging iters only); its cost is
+        # carried separately in the raster stage breakdown
         return train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
-                          sh_degree=3, rasterizer="pallas")
+                          sh_degree=3, rasterizer="pallas",
+                          with_telemetry=False)
 
     for _ in range(3):
         state, m = step(state)

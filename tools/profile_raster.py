@@ -296,7 +296,8 @@ def main():
             stt = init_train_state(make_scene(args.P))
             def stp(s):
                 s2, m = train_step(s, ca, jnp.zeros(3), lrs, width=W, height=H,
-                                   sh_degree=3, rasterizer=rast)
+                                   sh_degree=3, rasterizer=rast,
+                                   with_telemetry=False)
                 return s2, m
             # donated state: chained by construction; HOST-FETCH the loss
             # (block_until_ready is not a reliable fence over the tunnel)
