@@ -675,8 +675,11 @@ def _segment_starts(tiles_c: jnp.ndarray, n_tiles: int) -> jnp.ndarray:
     below each query) + ONE row gather of each query's boundary block —
     ~1.3 ms, exact (tools/profile_glue5.py, chained timing)."""
     nc = tiles_c.shape[0]
+    if nc == 0:
+        return jnp.zeros(n_tiles + 1, jnp.int32)
     BS = 128  # nc is a KB=128 multiple by construction
     nb = nc // BS
+    assert nb >= 1, f"nc={nc} must be a multiple of {BS}"
     blk = tiles_c.reshape(nb, BS)
     bmax = blk[:, -1]  # block maxima (input sorted)
     q = jnp.arange(n_tiles + 1, dtype=jnp.int32)

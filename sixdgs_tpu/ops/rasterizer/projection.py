@@ -86,9 +86,14 @@ def project_gaussians(
     mx, my, mz = means3d[:, 0], means3d[:, 1], means3d[:, 2]
     if isinstance(cov3d, (tuple, list)):
         cxx, cxy, cxz, cyy, cyz, czz = cov3d
-    elif cov3d.ndim == means3d.ndim + 1 and cov3d.shape[-1] == 6:
+    elif cov3d.ndim == means3d.ndim and cov3d.shape[-1] == 6:
+        # packed [P, 6] upper-triangle layout (build_covariance_6 output)
         cxx, cxy, cxz, cyy, cyz, czz = (cov3d[..., i] for i in range(6))
     else:
+        if cov3d.shape[-2:] != (3, 3):
+            raise ValueError(
+                f"cov3d must be a 6-plane tuple, [P, 6] packed, or "
+                f"[P, 3, 3]; got shape {cov3d.shape}")
         cxx, cxy, cxz = cov3d[..., 0, 0], cov3d[..., 0, 1], cov3d[..., 0, 2]
         cyy, cyz, czz = cov3d[..., 1, 1], cov3d[..., 1, 2], cov3d[..., 2, 2]
 

@@ -289,3 +289,97 @@ class TestCameras:
         p = fp @ np.array([0.0, 0.0, 10.0, 1.0])
         ndc = p[:3] / p[3]
         np.testing.assert_allclose(ndc[:2], 0.0, atol=1e-6)
+
+
+class TestPlaneMajorParity:
+    """Pin the plane-major TPU twins to their stacked predecessors
+    (ADVICE r4: the hot path's values shifted without tests)."""
+
+    @pytest.mark.parametrize("deg", [0, 1, 2, 3, 4])
+    def test_eval_sh_planes_bitwise(self, deg):
+        from sixdgs_tpu.ops.sh import eval_sh_planes
+
+        rng = np.random.default_rng(deg)
+        P, C = 257, 3
+        ncoeff = (deg + 1) ** 2
+        sh = rng.normal(size=(P, ncoeff, C)).astype(np.float32)
+        dirs = rng.normal(size=(P, 3)).astype(np.float32)
+        dirs /= np.linalg.norm(dirs, axis=-1, keepdims=True)
+        ref = eval_sh(deg, jnp.swapaxes(jnp.asarray(sh), 1, 2),
+                      jnp.asarray(dirs))
+        got = eval_sh_planes(deg, jnp.asarray(sh), jnp.asarray(dirs))
+        np.testing.assert_array_equal(np.asarray(got), np.asarray(ref))
+        # under jit XLA may re-associate the FMA chain; tight allclose only
+        got_jit = jax.jit(eval_sh_planes, static_argnums=0)(
+            deg, jnp.asarray(sh), jnp.asarray(dirs))
+        np.testing.assert_allclose(np.asarray(got_jit), np.asarray(ref),
+                                   rtol=1e-5, atol=1e-6)
+
+    def test_covariance_planes_close(self):
+        from sixdgs_tpu.ops.transforms import covariance_planes
+
+        rng = np.random.default_rng(1)
+        P = 513
+        scaling = np.exp(rng.uniform(-5, 0, size=(P, 3))).astype(np.float32)
+        q = rng.normal(size=(P, 4)).astype(np.float32)
+        full = np.asarray(build_covariance(jnp.asarray(scaling),
+                                           jnp.asarray(q)))
+        planes = covariance_planes(jnp.asarray(scaling), jnp.asarray(q))
+        idx = [(0, 0), (0, 1), (0, 2), (1, 1), (1, 2), (2, 2)]
+        for p, (i, j) in zip(planes, idx):
+            np.testing.assert_allclose(
+                np.asarray(p), full[:, i, j], rtol=1e-4, atol=1e-6)
+
+    def test_projection_accepts_packed_cov6(self):
+        # the [P, 6] branch must route identically to [P, 3, 3]
+        # (ADVICE r4 medium: the branch condition was unreachable)
+        from sixdgs_tpu.ops.rasterizer.projection import project_gaussians
+
+        rng = np.random.default_rng(2)
+        P = 64
+        xyz = (rng.normal(size=(P, 3)) * 2 + [0, 0, 6]).astype(np.float32)
+        scaling = np.exp(rng.uniform(-4, -2, size=(P, 3))).astype(np.float32)
+        q = rng.normal(size=(P, 4)).astype(np.float32)
+        opac = rng.uniform(0.2, 1, size=P).astype(np.float32)
+        colors = rng.uniform(size=(P, 3)).astype(np.float32)
+        cov33 = build_covariance(jnp.asarray(scaling), jnp.asarray(q))
+        cov6 = build_covariance_6(jnp.asarray(scaling), jnp.asarray(q))
+        from sixdgs_tpu.scene.cameras import make_synthetic_camera
+        from sixdgs_tpu.train.gs_trainer import camera_arrays
+
+        cam = make_synthetic_camera(128, 96, 0.9, 0.65, np.eye(3),
+                                    np.zeros(3))
+        ca = camera_arrays(cam)
+        kw = dict(view=ca.view, full_proj=ca.full_proj,
+                  camera_center=ca.camera_center, width=128, height=96,
+                  tan_fovx=0.9, tan_fovy=0.65,
+                  colors_precomp=jnp.asarray(colors))
+        a = project_gaussians(jnp.asarray(xyz), cov33,
+                              jnp.asarray(opac), **kw)
+        b = project_gaussians(jnp.asarray(xyz), cov6,
+                              jnp.asarray(opac), **kw)
+        for fa, fb in zip(a, b):
+            np.testing.assert_allclose(np.asarray(fa), np.asarray(fb),
+                                       rtol=1e-5, atol=1e-6)
+        with pytest.raises(ValueError):
+            project_gaussians(jnp.asarray(xyz), cov6[:, :5],
+                              jnp.asarray(opac), **kw)
+
+    def test_segment_starts_matches_searchsorted(self):
+        from sixdgs_tpu.ops.rasterizer.pallas_tiles import _segment_starts
+
+        rng = np.random.default_rng(3)
+        for trial in range(30):
+            n_tiles = int(rng.integers(1, 50))
+            nc = 128 * int(rng.integers(1, 9))
+            n_real = int(rng.integers(0, nc + 1))
+            tiles = np.sort(rng.integers(0, n_tiles, size=n_real))
+            # sentinels sort last (tile id == n_tiles)
+            full = np.concatenate(
+                [tiles, np.full(nc - n_real, n_tiles)]).astype(np.int32)
+            ref = np.searchsorted(full, np.arange(n_tiles + 1))
+            got = np.asarray(_segment_starts(jnp.asarray(full), n_tiles))
+            np.testing.assert_array_equal(got, ref)
+        # nc == 0 guard (ADVICE r4): must return zeros, not garbage
+        got = np.asarray(_segment_starts(jnp.zeros(0, jnp.int32), 7))
+        np.testing.assert_array_equal(got, np.zeros(8, np.int32))
