@@ -45,6 +45,39 @@ def _fetch(carry):
     np.asarray(smallest)
 
 
+def chained_call_ms(fn, *args, n=20, warmup=3, chain_arg=0, repeats=3):
+    """Chained + host-fetch timing of ``fn(*args)``.
+
+    The ``chain_arg``-th argument (an array or pytree of arrays) carries the
+    serializing data dependency: each iteration's value of that argument is
+    the previous value plus an exact zero derived from the previous output,
+    so the device cannot overlap or skip iterations, and the final output is
+    host-fetched inside the timed region. Overhead: one elementwise add of
+    the chained argument per step.
+
+    The MIN over ``repeats`` timed regions is returned: tunnel jitter
+    (host->device queue stalls of ~1 ms) is strictly additive, so the min
+    is the noise-robust estimator — single regions produced occasional
+    fwd > fwd+bwd inversions between back-to-back measurements."""
+    import jax.numpy as jnp
+
+    @jax.jit
+    def step(carry):
+        a, _ = carry
+        call_args = list(args)
+        call_args[chain_arg] = a
+        out = fn(*call_args)
+        leaves = jax.tree_util.tree_leaves(out)
+        sm = min(leaves, key=lambda v: getattr(v, "size", 1))
+        flat, tdef = jax.tree_util.tree_flatten(a)
+        flat[0] = seq_dep(flat[0], sm)
+        return tdef.unflatten(flat), sm.astype(jnp.float32).ravel()[0]
+
+    carry0 = (args[chain_arg], jnp.float32(0.0))
+    return min(chained_ms(step, carry0, n=n, warmup=warmup if r == 0 else 1)
+               for r in range(max(repeats, 1)))
+
+
 def seq_dep(x, out):
     """Fold a scalar of ``out`` into ``x`` with zero value change, creating
     the data dependency that serializes the next step on this one."""
