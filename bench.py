@@ -240,7 +240,8 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
     if pad:
         key = jnp.concatenate(
             [key, jnp.full(pad, jnp.uint32(nx * ny) << gbits, jnp.uint32)])
-    nc = min(PT.DEFAULT_NC, key.shape[0])
+    ncb = PT.ALIGN_CPB * PT.KB
+    nc = min(-(-PT.DEFAULT_NC // ncb) * ncb, (key.shape[0] // ncb) * ncb)
     skey = jax.lax.sort((key,), num_keys=1)[0][:nc]
     gidx_c = jax.lax.bitwise_and(
         skey, jnp.uint32((1 << gbits) - 1)).astype(jnp.int32)
@@ -248,10 +249,16 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
         skey, jnp.uint32(gbits)).astype(jnp.int32)
     starts = jnp.searchsorted(
         tiles_c, jnp.arange(nx * ny + 1, dtype=jnp.int32)).astype(jnp.int32)
-    counts = starts[1:] - starts[:-1]
+    # production layout: chunk-aligned per-tile segments (pallas_tiles r5)
+    starts_al, _ = PT._aligned_starts(starts, nc)
+    counts = jnp.minimum(starts[1:] - starts[:-1],
+                         starts_al[1:] - starts_al[:-1])
+    gidx_al = jnp.minimum(  # sentinel P lanes: clamp-gather a garbage row
+        PT._align_compact(gidx_c, starts, starts_al, nx * ny, P), P - 1)
     rec_t = jnp.concatenate(
-        [records[gidx_c].T,
+        [records[gidx_al].T,
          jnp.zeros((PT.COLS - 9, nc), jnp.float32)], axis=0)  # [16, NC]
+    starts = starts_al
     _fetch((rec_t, starts, counts))
 
     bg = jnp.zeros(3, jnp.float32)

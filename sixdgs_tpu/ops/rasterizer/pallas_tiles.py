@@ -136,28 +136,34 @@ _DN_NT = (((1,), (0,)), ((), ()))
 
 
 def _matmul_scan(x, tri):
-    """Lane prefix sums of [R, KB] via 2 bf16 MXU passes with f32 accumulate.
+    """Lane prefix sums of [R, KB] with hi/lo-bf16 accuracy, ONE MXU dot.
 
     Lane-shift scans are REAL ops on TPU (cross-lane rotates, ~3 passes per
     log-step -> ~1 us/chunk); sublane shifts would be free but pairs live in
-    lanes in this kernel frame. One [R,KB]x[KB,KB] matmul against a 0/1
-    triangular matrix does the whole scan on the MXU instead."""
+    lanes in this kernel frame. One [2R,KB]x[KB,KB] matmul against a 0/1
+    triangular matrix does the whole scan on the MXU instead: the hi and lo
+    split terms are STACKED along the output-row dim so Mosaic issues a
+    single dot (same MXU tile count as two [R,KB] dots, half the per-dot
+    fixed overhead) and the two halves are summed back in f32."""
     hi, lo = _split_bf16(x)
-    return (jax.lax.dot_general(hi, tri, _DN_NT,
-                                preferred_element_type=jnp.float32)
-            + jax.lax.dot_general(lo, tri, _DN_NT,
-                                  preferred_element_type=jnp.float32))
+    r = x.shape[0]
+    y = jax.lax.dot_general(jnp.concatenate([hi, lo], axis=0), tri, _DN_NT,
+                            preferred_element_type=jnp.float32)
+    return y[:r] + y[r:]
 
 
 def _matmul_split3(a, b, dn=_DN_NT):
-    """f32-accurate matmul in 3 bf16 MXU passes (hi*hi + hi*lo + lo*hi;
-    the dropped lo*lo term is ~2^-32 relative) — vs HIGHEST's 6 passes."""
+    """f32-accurate matmul (hi*hi + hi*lo + lo*hi; the dropped lo*lo term is
+    ~2^-32 relative) as ONE MXU dot: the three split terms are stacked along
+    the CONTRACTING dim, so the accumulation happens inside the MXU — same
+    tile count as three separate bf16 dots (vs HIGHEST's 6), one third the
+    per-dot fixed overhead."""
+    ((ca,), (cb,)) = dn[0]
     a_hi, a_lo = _split_bf16(a)
     b_hi, b_lo = _split_bf16(b)
-    f32 = jnp.float32
-    return (jax.lax.dot_general(a_hi, b_hi, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(a_hi, b_lo, dn, preferred_element_type=f32)
-            + jax.lax.dot_general(a_lo, b_hi, dn, preferred_element_type=f32))
+    A = jnp.concatenate([a_hi, a_lo, a_hi], axis=ca)
+    B = jnp.concatenate([b_hi, b_hi, b_lo], axis=cb)
+    return jax.lax.dot_general(A, B, dn, preferred_element_type=jnp.float32)
 
 
 def _composite_chunk(alpha, LT, done, triS):
@@ -473,11 +479,13 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
         s = jnp.where(clamped | (~live), 0.0, da_all) * g_raw  # [NPIX, KB]
         m_hi, m_lo = _split_bf16(s)
         dn_m = (((0,), (0,)), ((), ()))
-        m = (jax.lax.dot_general(basis.astype(jnp.bfloat16), m_hi, dn_m,
-                                 preferred_element_type=jnp.float32)
-             + jax.lax.dot_general(basis.astype(jnp.bfloat16), m_lo, dn_m,
-                                   preferred_element_type=jnp.float32)
-             )  # [8, KB] — the basis is bf16-exact, so 2 passes suffice
+        basis_bf = basis.astype(jnp.bfloat16)
+        # bf16-exact basis x (s_hi + s_lo), hi/lo stacked along the
+        # contracting dim -> ONE dot (same tiles as two, half the overhead)
+        m = jax.lax.dot_general(
+            jnp.concatenate([basis_bf, basis_bf], axis=0),
+            jnp.concatenate([m_hi, m_lo], axis=0), dn_m,
+            preferred_element_type=jnp.float32)  # [8, KB]
         m00 = m[0:1, :]
         m10 = m[1:2, :]
         m01 = m[2:3, :]
@@ -664,6 +672,107 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
     return dpairs
 
 
+ALIGN_CPB = 8  # output chunks relocated per align-kernel instance
+
+
+def _align_kernel(chunk_tile_ref, starts_ref, starts_al_ref, gidx_hbm,
+                  out_ref, vbuf, sem, *, n_tiles: int, sentinel: int,
+                  nc: int):
+    """Relocate compact pair indices into the KB-aligned segment layout.
+
+    Instance g handles output chunks [g*CPB, (g+1)*CPB): for each, looks up
+    its owning tile t (scalar-prefetched chunk->tile map), DMAs the KB run
+    starting at starts[t] + (chunk_pos - starts_al[t]) from the UNALIGNED
+    gidx array, masks lanes past the tile's real count to ``sentinel``
+    (= P: sorts after every real gaussian in the backward routing and
+    clamp-gathers a garbage record row the compositing masks out), and
+    writes it at the aligned position. Pure data movement: ~nc*4 bytes
+    read + written through VMEM."""
+    g = pl.program_id(0)
+    reads = []
+    for j in range(ALIGN_CPB):
+        c = g * ALIGN_CPB + j
+        t = chunk_tile_ref[c]
+        k = c * KB - starts_al_ref[t]  # offset within the aligned segment
+        # clamp so the window read stays inside the 2KB-padded source buffer
+        # (sentinel chunks compute src past the real total; masked below)
+        src = jnp.clip(starts_ref[t] + k, 0, nc)
+        # Mosaic DMAs slice the lane dim at 128 alignment only: read the
+        # ALIGNED 2*KB window covering [src, src+KB) and rotate lanes by the
+        # residue afterwards (tpu.dynamic_rotate takes a traced shift)
+        base2 = pl.multiple_of((src // KB) * KB, KB)
+        cp = pltpu.make_async_copy(
+            gidx_hbm.at[:, pl.ds(base2, 2 * KB)], vbuf.at[j], sem.at[j])
+        cp.start()
+        reads.append((cp, t, k, src - (src // KB) * KB))
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, KB), 1)
+    for j, (cp, t, k, r) in enumerate(reads):
+        cp.wait()
+        # window[r + lane] == roll(window, 2KB - r)[lane] for lane < KB
+        rolled = pltpu.roll(vbuf[j], 2 * KB - r, axis=1)[:, :KB]
+        count_t = starts_ref[t + 1] - starts_ref[t]
+        valid = (k + lane < count_t) & (t < n_tiles)
+        out_ref[0, pl.ds(j * KB, KB)] = jnp.where(
+            valid, rolled, jnp.int32(sentinel))[0]
+
+
+def _align_compact(gidx_c, starts, starts_al, n_tiles: int, sentinel: int,
+                   interpret: bool = False):
+    """[nc] unaligned compact gaussian indices -> [nc] KB-aligned layout.
+
+    ``starts``: real per-tile segment starts [n_tiles+1]; ``starts_al``: the
+    KB-aligned starts (clamped to nc). Padding lanes and lanes beyond the
+    aligned total carry ``sentinel``. nc must be a multiple of
+    ALIGN_CPB*KB."""
+    nc = gidx_c.shape[0]
+    n_chunks = nc // KB
+    assert n_chunks % ALIGN_CPB == 0, nc
+    # chunk -> owning tile: t(c) = #{t' : starts_al[t'+1] <= c*KB}, i.e. the
+    # first tile whose aligned end is past the chunk (n_tiles for chunks
+    # beyond the aligned total). One exact 0/1 bf16 matmul (counts < 2^24).
+    ends_chunks = (starts_al[1:] // KB).astype(jnp.int32)  # [n_tiles]
+    cpos = jnp.arange(n_chunks, dtype=jnp.int32)
+    le = (ends_chunks[:, None] <= cpos[None, :]).astype(jnp.bfloat16)
+    chunk_tile = jax.lax.dot_general(
+        jnp.ones((1, n_tiles), jnp.bfloat16), le, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )[0].astype(jnp.int32)
+    # pad the source so the last chunk's aligned 2*KB window read never
+    # leaves the buffer
+    gidx_pad = jnp.concatenate(
+        [gidx_c, jnp.zeros(2 * KB, gidx_c.dtype)])[None, :]  # [1, nc+2KB]
+    out = pl.pallas_call(
+        functools.partial(_align_kernel, n_tiles=n_tiles, sentinel=sentinel,
+                          nc=nc),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=3,
+            grid=(n_chunks // ALIGN_CPB,),
+            in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+            out_specs=pl.BlockSpec((1, ALIGN_CPB * KB), lambda g, *_: (0, g),
+                                   memory_space=pltpu.VMEM),
+            scratch_shapes=[
+                pltpu.VMEM((ALIGN_CPB, 1, 2 * KB), jnp.int32),
+                pltpu.SemaphoreType.DMA((ALIGN_CPB,)),
+            ],
+        ),
+        out_shape=jax.ShapeDtypeStruct((1, nc), jnp.int32),
+        interpret=interpret,
+    )(chunk_tile, starts, starts_al, gidx_pad)
+    return out[0]
+
+
+def _aligned_starts(starts: jnp.ndarray, nc: int) -> jnp.ndarray:
+    """KB-aligned per-tile segment starts (clamped to the nc budget) and the
+    UNCLAMPED aligned total (for the gradient-drop truncation guard)."""
+    counts = starts[1:] - starts[:-1]
+    aligned = -(-counts // KB) * KB
+    total_raw = jnp.sum(aligned)  # may exceed nc (truncation)
+    starts_al = jnp.concatenate(
+        [jnp.zeros(1, jnp.int32),
+         jnp.cumsum(aligned).astype(jnp.int32)])
+    return jnp.minimum(starts_al, nc), total_raw
+
+
 def _segment_starts(tiles_c: jnp.ndarray, n_tiles: int) -> jnp.ndarray:
     """starts[t] = first index of tile t in the SORTED compact tile ids
     (== searchsorted(tiles_c, arange(n_tiles+1)), t = n_tiles giving the
@@ -795,14 +904,30 @@ def rasterize_pallas(
     mid_k: int = 4096,
     t_max_mid: int = 64,
     nc_pairs: int = 0,
-) -> jnp.ndarray:
+    return_stats: bool = False,
+):
     """Tile-binned rasterization via the Pallas kernels -> [3, H, W].
 
     Same three-tier binning as tiles.rasterize_tiled; ONE payload-free u32
     key sort + compact row gather builds the per-tile segments; compositing +
     backward run in the hand-written kernels (no k_max truncation).
     ``nc_pairs``: compact pair budget (0 = min(DEFAULT_NC, slot count));
-    saturation is visible as ``real_pairs`` in ``binning_saturation``."""
+    saturation is visible as ``real_pairs`` in ``binning_saturation``.
+
+    Per-tile segments are CHUNK-ALIGNED in the compact layout (every
+    segment starts at a KB boundary, via ``_align_compact``): with the
+    unaligned dense layout nearly every KB chunk straddled two tiles at
+    production scale (mean segment ~119 pairs at Mip-360 scale) and was
+    processed TWICE by the compositing kernels — 7541 vs 5455 chunk
+    processings measured at the bench scene, a 28% kernel-time tax. The
+    padding costs ~nc*4 bytes of DMA in the align kernel and sentinel lanes
+    the kernels already mask.
+
+    ``return_stats``: also return exact in-graph budget telemetry
+    {nc_demand (aligned slots the scene wants — the widening signal),
+    nc_real (post-cull emitted pairs that survived the slice),
+    grad_dropped (1 when this step's raster gradients were zeroed because
+    the aligned demand overflowed nc)}."""
     nx = -(-width // TILE)
     ny = -(-height // TILE)
     n_tiles = nx * ny
@@ -842,8 +967,12 @@ def rasterize_pallas(
         conics=rec_ng[:, 2:5], opac=rec_ng[:, 8],
     )
     n_slots = P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
-    n_slots_pad = -(-n_slots // KB) * KB
-    nc = min(-(-(nc_pairs or DEFAULT_NC) // KB) * KB, n_slots_pad)
+    # nc is a multiple of the align kernel's instance granularity (and
+    # thereby of KB); the slot padding below guarantees the slice fits
+    ncb = ALIGN_CPB * KB
+    nc = min(-(-(nc_pairs or DEFAULT_NC) // ncb) * ncb,
+             -(-n_slots // ncb) * ncb)
+    n_slots_pad = max(-(-n_slots // KB) * KB, nc)
 
     if key is not None:
         pad = n_slots_pad - n_slots
@@ -865,18 +994,40 @@ def rasterize_pallas(
         tiles_c, gidx_c = tiles_s[:nc], gidx_s[:nc]
 
     starts = _segment_starts(tiles_c, n_tiles)
-    counts = starts[1:] - starts[:-1]
+    # chunk-aligned layout: every tile segment starts at a KB boundary
+    starts_al, al_total_raw = _aligned_starts(starts, nc)
+    counts_k = jnp.minimum(starts[1:] - starts[:-1],
+                           starts_al[1:] - starts_al[:-1])
+    gidx_al = _align_compact(gidx_c, starts, starts_al, n_tiles, P,
+                             interpret=interpret)
     ends_g = jnp.cumsum(counts_g).astype(jnp.int32)  # [P] inclusive
+    # truncated aligned layout (demand > nc budget): trailing tiles were cut
+    # — drop this step's raster gradients (the trainer widens nc from the
+    # nc_demand telemetry and retraces), by tripping _gather_pairs_bwd's
+    # existing ends_g[-1] <= nc guard. The clamped boundary gathers stay
+    # in-bounds, and d_rec is zeroed before they matter.
+    ends_g = jnp.where(al_total_raw <= nc, ends_g, jnp.int32(nc + 1))
 
-    recs_c = _gather_pairs(records, gidx_c, starts[n_tiles], ends_g, counts_g)
+    # padding lanes carry the P sentinel: the row gather clamps them to a
+    # garbage record the kernels mask (hi bound), and the backward routing
+    # sorts them past every real gaussian — so v_real is the whole buffer
+    recs_c = _gather_pairs(records, gidx_al, jnp.int32(nc), ends_g, counts_g)
     records_t = jnp.concatenate(
         [recs_c, jnp.zeros((COLS - RECORD, nc), jnp.float32)], axis=0
     )  # [16, NC]; the concat VJP is a row slice
 
-    out = _composite(records_t, starts, counts,
+    out = _composite(records_t, starts_al, counts_k,
                      jnp.asarray(bg_color, jnp.float32), nx, ny, interpret)
     # out [nt, NPIX, 3] is the FINAL tile image (bg composited in-kernel);
     # one relayout to [3, H, W] is the only XLA op left on the image path
     img = out.reshape(ny, nx, TILE, TILE, 3)
     img = img.transpose(4, 0, 2, 1, 3).reshape(3, ny * TILE, nx * TILE)
-    return img[:, :height, :width]
+    img = img[:, :height, :width]
+    if return_stats:
+        stats = {
+            "nc_demand": al_total_raw.astype(jnp.int32),
+            "nc_real": starts[n_tiles],
+            "grad_dropped": (al_total_raw > nc).astype(jnp.int32),
+        }
+        return img, stats
+    return img

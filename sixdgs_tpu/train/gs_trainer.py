@@ -122,7 +122,8 @@ def widen_tiers(tiers, dropped_main, dropped_mid, dropped_big):
 
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
                    bg, means2d_offset, chunk, rasterizer: str = "auto",
-                   tiers: tuple = DEFAULT_TIERS, nc_pairs: int = 0):
+                   tiers: tuple = DEFAULT_TIERS, nc_pairs: int = 0,
+                   with_stats: bool = False):
     from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
 
     rasterizer = resolve_rasterizer(rasterizer)
@@ -138,14 +139,17 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
         sh=sh, sh_degree=sh_degree, active=active,
     )
     proj = proj._replace(means2d=proj.means2d + means2d_offset)
+    stats = None
     if rasterizer in ("pallas", "pallas_interpret"):
         from sixdgs_tpu.ops.rasterizer.pallas_tiles import rasterize_pallas
 
         img = rasterize_pallas(proj, width, height, bg, t_max=t_max,
                                mid_k=mid_k, t_max_mid=t_max_mid,
                                overflow_k=overflow_k, t_max_big=t_max_big,
-                               nc_pairs=nc_pairs,
+                               nc_pairs=nc_pairs, return_stats=with_stats,
                                interpret=(rasterizer == "pallas_interpret"))
+        if with_stats:
+            img, stats = img
     elif rasterizer == "tiled":
         from sixdgs_tpu.ops.rasterizer.tiles import rasterize_tiled
 
@@ -154,6 +158,8 @@ def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
                               overflow_k=overflow_k, t_max_big=t_max_big)
     else:
         img = rasterize_scan(proj, width, height, bg, chunk=chunk)
+    if with_stats:
+        return img, proj, stats
     return img, proj
 
 
@@ -184,17 +190,27 @@ def train_step(
     params = state.scene.params()
     zeros2d = jnp.zeros((state.scene.capacity, 2))
 
+    from sixdgs_tpu.ops.rasterizer import resolve_rasterizer
+
+    # exact in-graph nc-budget telemetry is free on the pallas path (the
+    # rasterizer computes it anyway); only materialized on telemetry iters
+    want_stats = (with_telemetry
+                  and resolve_rasterizer(rasterizer) in (
+                      "pallas", "pallas_interpret"))
+
     def loss_fn(params, means2d_offset):
-        img, proj = _render_params(
+        out = _render_params(
             params, active, cam, width, height, sh_degree, bg, means2d_offset,
-            chunk, rasterizer, tiers, nc_pairs,
+            chunk, rasterizer, tiers, nc_pairs, with_stats=want_stats,
         )
+        img, proj = out[0], out[1]
+        stats = out[2] if want_stats else None
         loss, ll1 = dssim_l1_loss(img, cam.gt_image, lambda_dssim)
         return loss, (ll1, proj.radii, img,
-                      jax.lax.stop_gradient(proj.means2d))
+                      jax.lax.stop_gradient(proj.means2d), stats)
 
-    (loss, (ll1, radii, img, means2d)), (grads, g2d) = jax.value_and_grad(
-        loss_fn, argnums=(0, 1), has_aux=True
+    (loss, (ll1, radii, img, means2d, nc_stats)), (grads, g2d) = (
+        jax.value_and_grad(loss_fn, argnums=(0, 1), has_aux=True)
     )(params, zeros2d)
 
     new_params, new_adam = adam_update(params, grads, state.adam, lrs)
@@ -233,6 +249,11 @@ def train_step(
             mid_k=mid_k, t_max_mid=t_max_mid,
         )
         metrics.update({f"binning_{k}": v for k, v in sat.items()})
+    if nc_stats is not None:
+        # EXACT post-cull budget telemetry from the rasterizer itself:
+        # nc_demand = aligned compact slots this frame wants (the widening
+        # signal), grad_dropped = 1 when the raster grads were zeroed
+        metrics.update({f"binning_{k}": v for k, v in nc_stats.items()})
     return new_state, metrics
 
 
@@ -484,18 +505,24 @@ class GSTrainer:
             if callback is not None and (it % log_every == 0 or it == iterations):
                 callback(it, jax.device_get(metrics), self)
             if (adapt_tiers_every and it % adapt_tiers_every == 0
-                    and "binning_real_pairs" in metrics):
-                # compact-pair budget: the sorted-key slice drops the pairs
-                # that sort last (whole bottom-of-image tiles) when real
-                # pairs exceed nc, and the backward drops that step's
-                # gradients — widen BEFORE saturation
+                    and ("binning_real_pairs" in metrics
+                         or "binning_nc_demand" in metrics)):
+                # compact-pair budget: the aligned layout drops trailing
+                # tiles (and the backward drops that step's gradients) when
+                # the frame's demand exceeds nc — widen BEFORE saturation.
+                # binning_nc_demand is the rasterizer's EXACT post-cull
+                # aligned demand (pallas path); the pre-cull real_pairs
+                # bound is the fallback for the tiled path.
                 from sixdgs_tpu.ops.rasterizer.pallas_tiles import DEFAULT_NC
 
-                real = int(jax.device_get(metrics["binning_real_pairs"]))
+                real = int(jax.device_get(metrics.get(
+                    "binning_nc_demand", metrics.get("binning_real_pairs"))))
                 effective = nc_pairs or DEFAULT_NC
                 if real > 0.9 * effective:
                     nc_pairs = effective * 2
-                    print(f"[{it}] compact pairs {real} > 90% of "
+                    while real > 0.9 * nc_pairs:  # catch up in one retrace
+                        nc_pairs *= 2
+                    print(f"[{it}] compact-pair demand {real} > 90% of "
                           f"{effective}: widening nc_pairs -> {nc_pairs}")
                 elif real * 3.2 < effective and effective > (1 << 18):
                     # every per-pair glue cost (key sort slice, compact

@@ -272,7 +272,15 @@ class TestAdaptiveNcPairs:
         trainer.run(iterations=4, chunk=64, rasterizer="pallas_interpret",
                     adapt_tiers_every=2, adapt_drop_threshold=0.9)
         out = capsys.readouterr().out
-        assert "widening nc_pairs -> 256" in out, out
+        # widening catches up with the EXACT aligned demand in one retrace
+        # (the rasterizer's in-graph nc_demand telemetry, round 5) instead
+        # of one doubling per adaptation interval
+        assert "widening nc_pairs -> " in out, out
+        import re
+
+        new_budget = int(re.search(r"widening nc_pairs -> (\d+)", out).group(1))
+        demand = int(re.search(r"compact-pair demand (\d+)", out).group(1))
+        assert new_budget >= demand, out
 
     def test_slack_compact_budget_shrinks(self, synthetic_dataset, capsys,
                                           monkeypatch):

@@ -22,9 +22,10 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from tputime import chained_ms, seq_dep  # noqa: E402
 
 
-def timeit(fn, *args, n=20, warmup=3):
+def timeit(fn, *args, n=20, warmup=3, repeats=3):
     """Chained + host-fetch timing of fn(*args); extra args are closed over
-    and the first argument carries the serializing data dependency."""
+    and the first argument carries the serializing data dependency. Min over
+    ``repeats`` regions (tunnel jitter is additive — see tputime)."""
 
     @jax.jit
     def step(carry):
@@ -37,7 +38,9 @@ def timeit(fn, *args, n=20, warmup=3):
         flat[0] = seq_dep(flat[0], sm)
         return tdef.unflatten(flat), sm.astype(jnp.float32).ravel()[0]
 
-    return chained_ms(step, (args[0], jnp.float32(0)), n=n, warmup=warmup)
+    return min(chained_ms(step, (args[0], jnp.float32(0)), n=n,
+                          warmup=warmup if r == 0 else 1)
+               for r in range(max(repeats, 1)))
 
 
 def pglue_breakdown(proj, P, W, H, n=20):
@@ -87,8 +90,9 @@ def pglue_breakdown(proj, P, W, H, n=20):
     out["fused_pair_keys"] = timeit(keys_fn, rec[:, 0:2], radii_f, vis, n=n)
 
     n_slots = P * t_max + mid_k * t_max_mid + overflow_k * t_max_big
-    n_slots_pad = -(-n_slots // PT.KB) * PT.KB
-    nc = min(-(-PT.DEFAULT_NC // PT.KB) * PT.KB, n_slots_pad)
+    ncb = PT.ALIGN_CPB * PT.KB
+    nc = min(-(-PT.DEFAULT_NC // ncb) * ncb, -(-n_slots // ncb) * ncb)
+    n_slots_pad = max(-(-n_slots // PT.KB) * PT.KB, nc)
 
     @jax.jit
     def stage_sort(key):
@@ -109,40 +113,48 @@ def pglue_breakdown(proj, P, W, H, n=20):
     @jax.jit
     def stage_layout(tiles_c, counts_g):
         starts = PT._segment_starts(tiles_c, n_tiles)
-        return (starts, starts[1:] - starts[:-1],
+        starts_al, _ = PT._aligned_starts(starts, nc)
+        counts_k = jnp.minimum(starts[1:] - starts[:-1],
+                               starts_al[1:] - starts_al[:-1])
+        return (starts, starts_al, counts_k,
                 jnp.cumsum(counts_g).astype(jnp.int32))
 
-    starts, counts, ends_g = jax.block_until_ready(
+    starts, starts_al, counts_k, ends_g = jax.block_until_ready(
         stage_layout(tiles_c, counts_g))
-    out["searchsorted+cumsum"] = timeit(stage_layout, tiles_c, counts_g, n=n)
+    out["segment+aligned starts"] = timeit(stage_layout, tiles_c, counts_g,
+                                           n=n)
+
+    align_fn = jax.jit(lambda g, s, sa: PT._align_compact(
+        g, s, sa, n_tiles, P))
+    gidx_al = jax.block_until_ready(align_fn(gidx_c, starts, starts_al))
+    out["align kernel"] = timeit(align_fn, gidx_c, starts, starts_al, n=n)
 
     @jax.jit
-    def stage_gather(rec, gidx_c):
-        recs_c = rec[gidx_c].T
+    def stage_gather(rec, gidx_al):
+        recs_c = rec[gidx_al].T
         return jnp.concatenate(
             [recs_c, jnp.zeros((PT.COLS - 9, nc), jnp.float32)], axis=0)
 
-    recs = jax.block_until_ready(stage_gather(rec, gidx_c))
-    out["compact row gather"] = timeit(stage_gather, rec, gidx_c, n=n)
+    recs = jax.block_until_ready(stage_gather(rec, gidx_al))
+    out["compact row gather"] = timeit(stage_gather, rec, gidx_al, n=n)
 
     bg = jnp.zeros(3, jnp.float32)
     kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(
         r, s, c, nx, ny, bg))
-    out["fwd kernel"] = timeit(kf, recs, starts, counts, n=n)
+    out["fwd kernel"] = timeit(kf, recs, starts_al, counts_k, n=n)
 
-    img = jax.block_until_ready(kf(recs, starts, counts))
+    img = jax.block_until_ready(kf(recs, starts_al, counts_k))
     kb = jax.jit(lambda r, s, c, o: PT.pallas_composite_bwd(
         r, s, c, nx, ny, o, o * 1e-3))
-    out["bwd kernel"] = timeit(kb, recs, starts, counts, img, n=n)
+    out["bwd kernel"] = timeit(kb, recs, starts_al, counts_k, img, n=n)
 
-    dpairs = jax.block_until_ready(kb(recs, starts, counts, img))
+    dpairs = jax.block_until_ready(kb(recs, starts_al, counts_k, img))
 
     @jax.jit
-    def stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real):
-        rows = jnp.arange(nc, dtype=jnp.int32)
-        gkey = jnp.where(rows < v_real, gidx_c, jnp.int32(P))
+    def stage_bwd_route(dpairs, gidx_al, ends_g, counts_g):
+        # padding lanes already carry the P sentinel
         srt = jax.lax.sort(
-            (gkey,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
+            (gidx_al,) + tuple(dpairs[c] for c in range(9)), num_keys=1)
         # stacked-cumsum routing (mirrors production _gather_pairs_bwd; the
         # per-plane 1-D variant wins in isolation but loses 16 ms composed)
         cum = jnp.cumsum(jnp.stack(srt[1:], axis=-1), axis=0)  # [NC, 9]
@@ -150,11 +162,10 @@ def pglue_breakdown(proj, P, W, H, n=20):
         return cum0[jnp.minimum(ends_g, nc)] - cum0[
             jnp.minimum(ends_g - counts_g, nc)]
 
-    v_real = starts[n_tiles]
     jax.block_until_ready(
-        stage_bwd_route(dpairs, gidx_c, ends_g, counts_g, v_real))
+        stage_bwd_route(dpairs, gidx_al, ends_g, counts_g))
     out["bwd gidx payload sort+route"] = timeit(
-        stage_bwd_route, dpairs, gidx_c, ends_g, counts_g, v_real, n=n)
+        stage_bwd_route, dpairs, gidx_al, ends_g, counts_g, n=n)
     return out
 
 
