@@ -280,7 +280,7 @@ class PoseTrainer:
             _, t_err, a_err, loss_score, recall, _ = test_pose_estimation(
                 infos, self.dino_params, self.id_params, self.rays,
                 self.model_up, use_target_scores=True,
-                k=self.cfg.rays_to_output,
+                k=self.cfg.rays_to_output, backbone=self.backbone,
             )
             out[tag] = {"translation_error": t_err, "angular_error": a_err,
                         "loss_score": loss_score, "recall": recall}

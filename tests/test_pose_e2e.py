@@ -211,3 +211,21 @@ class TestPoseE2E:
             for a, b in zip(jax.tree.leaves(tr_c.id_params), jax.tree.leaves(before))
         )
         assert moved
+
+
+class TestValidateBackboneDispatch:
+    def test_validate_uses_trainer_backbone(self, setup):
+        """Regression: validate() must forward backbone=self.backbone — with
+        superpoint params it used to default to the DINO forward and crash
+        with KeyError 'patch_embed' (the round-4 pose-stage artifact run died
+        here on its second backbone pass)."""
+        from sixdgs_tpu.pose import superpoint as sp_mod
+
+        scene, infos, cfg, rays, dparams, iparams = setup
+        sp_params = sp_mod.init_params(jax.random.key(3))
+        ip = init_id_module(jax.random.key(4), feature_dim=256, grid=28)
+        tr = PoseTrainer(sp_params, ip, scene, infos[:2], cfg, seed=5,
+                         backbone="superpoint")
+        tr.rays = rays
+        out = tr.validate(0, max_images=1)
+        assert np.isfinite(out["train_imgs"]["translation_error"])
