@@ -399,8 +399,9 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
 WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
 
 
-def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
-                out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem, gsem):
+def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
+                dout_ref, out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem,
+                gsem):
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -423,6 +424,25 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
     S = jnp.sum(dout_ref[0] * out_ref[0], axis=1, keepdims=True)  # [NPIX, 1]
     basis = _moment_basis()
     triS, triI = _tri_mats(KB)
+    # MERGED moment+dcolor operand: the pixel-moment matmul (basis^T s,
+    # hi/lo-stacked) and the color gradient (split3 dC^T w) both contract
+    # over the NPIX sublane axis, so a block-diagonal left operand computes
+    # BOTH in ONE MXU dot — the output column dims (8 and 3) pad to the same
+    # 128 lanes either way, so the merged dot costs the padded MACs of the
+    # two it replaces minus one dot's fixed overhead. Column blocks are
+    # disjoint, so the results are exactly the separate dots'. Constant per
+    # tile (dC is the tile's cotangent) — built once outside the chunk loop.
+    basis_bf = basis.astype(jnp.bfloat16)  # integer entries: bf16-exact
+    dC_hi, dC_lo = _split_bf16(dC_cols)
+    zero8 = jnp.zeros((NPIX, 8), jnp.bfloat16)
+    zero3 = jnp.zeros((NPIX, 3), jnp.bfloat16)
+    A_merged = jnp.concatenate([
+        jnp.concatenate([basis_bf, zero3], axis=1),
+        jnp.concatenate([basis_bf, zero3], axis=1),
+        jnp.concatenate([zero8, dC_hi], axis=1),
+        jnp.concatenate([zero8, dC_hi], axis=1),
+        jnp.concatenate([zero8, dC_lo], axis=1),
+    ], axis=0)  # [5*NPIX, 11]
 
     def dma(ci, slot):
         return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
@@ -478,20 +498,20 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
         clamped = (opac * g_raw) > ALPHA_MAX
         s = jnp.where(clamped | (~live), 0.0, da_all) * g_raw  # [NPIX, KB]
         m_hi, m_lo = _split_bf16(s)
-        dn_m = (((0,), (0,)), ((), ()))
-        basis_bf = basis.astype(jnp.bfloat16)
-        # bf16-exact basis x (s_hi + s_lo), hi/lo stacked along the
-        # contracting dim -> ONE dot (same tiles as two, half the overhead)
-        m = jax.lax.dot_general(
-            jnp.concatenate([basis_bf, basis_bf], axis=0),
-            jnp.concatenate([m_hi, m_lo], axis=0), dn_m,
-            preferred_element_type=jnp.float32)  # [8, KB]
-        m00 = m[0:1, :]
-        m10 = m[1:2, :]
-        m01 = m[2:3, :]
-        m20 = m[3:4, :]
-        m11 = m[4:5, :]
-        m02 = m[5:6, :]
+        w_hi, w_lo = _split_bf16(w)
+        # ONE block-diagonal dot: rows 0-7 = pixel moments basis^T(s_hi+s_lo),
+        # rows 8-10 = split3 color gradient dC^T w (see A_merged above)
+        mm = jax.lax.dot_general(
+            A_merged,
+            jnp.concatenate([m_hi, m_lo, w_hi, w_lo, w_hi], axis=0),
+            (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)  # [11, KB]
+        m00 = mm[0:1, :]
+        m10 = mm[1:2, :]
+        m01 = mm[2:3, :]
+        m20 = mm[3:4, :]
+        m11 = mm[4:5, :]
+        m02 = mm[5:6, :]
         xs = buf[0:1, :] - ox
         ys = buf[1:2, :] - oy
         conA = buf[2:3, :]
@@ -504,21 +524,25 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
         dconC = -0.5 * opac * (m02 - 2.0 * ys * m01 + ys * ys * m00)
         dmx = opac * (conA * cx + conB * cy)
         dmy = opac * (conC * cy + conB * cx)
-        dcol = _matmul_split3(
-            dC_cols, w, (((0,), (0,)), ((), ())))  # [3, KB]
+        dcol = mm[8:11, :]  # [3, KB]
 
         gnew = jnp.concatenate(
             [dmx, dmy, dconA, dconB, dconC, dcol, m00,
              jnp.zeros((COLS - RECORD, KB), jnp.float32)],
             axis=0,
         )  # [COLS, KB] — rows land in place, no transpose needed
-        lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
-        # boundary chunk: lanes < lo belong to the PREVIOUS tile, whose last
-        # chunk IS this KB-aligned chunk (lo > 0 implies the previous
-        # non-empty tile ended inside it). The sequential grid lets its
-        # merged values ride along in the tailbuf scratch — a VMEM copy
-        # instead of an HBM read-modify-write round trip.
-        merged = jnp.where(lane < lo, tailbuf[:], gnew)
+        if aligned:
+            # KB-aligned segment starts: no chunk straddles two tiles, so
+            # there is no previous-tile tail to merge (lo == 0 always)
+            merged = gnew
+        else:
+            lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
+            # boundary chunk: lanes < lo belong to the PREVIOUS tile, whose
+            # last chunk IS this KB-aligned chunk (lo > 0 implies the
+            # previous non-empty tile ended inside it). The sequential grid
+            # lets its merged values ride along in the tailbuf scratch — a
+            # VMEM copy instead of an HBM read-modify-write round trip.
+            merged = jnp.where(lane < lo, tailbuf[:], gnew)
 
         # lazy ring write-back: reclaim a gbuf slot only when the write
         # issued WRING chunks ago has drained (instead of stalling on every
@@ -532,9 +556,10 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
         gbuf[gslot] = merged
         dma_w(ci, gslot).start()
 
-        @pl.when(ci == n_chunks - 1)
-        def _():
-            tailbuf[:] = merged
+        if not aligned:
+            @pl.when(ci == n_chunks - 1)
+            def _():
+                tailbuf[:] = merged
 
         return LT, done, acc
 
@@ -577,11 +602,12 @@ def _bwd_kernel(starts_ref, counts_ref, nx_ref, records_hbm, dout_ref,
 
     jax.lax.fori_loop(ci_exit, n_chunks, zero_body, 0)
 
-    @pl.when(ci_exit < n_chunks)
-    def _():
-        # the tile's last written chunk is now all-zero; the next instance's
-        # boundary merge must see that
-        tailbuf[:] = jnp.zeros((COLS, KB), jnp.float32)
+    if not aligned:
+        @pl.when(ci_exit < n_chunks)
+        def _():
+            # the tile's last written chunk is now all-zero; the next
+            # instance's boundary merge must see that
+            tailbuf[:] = jnp.zeros((COLS, KB), jnp.float32)
 
     # drain outstanding gradient writes before the next instance reads its
     # boundary chunk
@@ -629,7 +655,8 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
 
 
 def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
-                         dout, interpret: bool = False):
+                         dout, interpret: bool = False,
+                         aligned: bool = False):
     """Per-pair gradients [16, NC] (same compact layout as records).
 
     ``out`` is the forward's own output (the residual), ``dout`` the
@@ -637,13 +664,17 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
     pixels-in-sublanes frame. S = <d_out, out> is computed in-kernel, so
     there is NO XLA-side aux construction at all.
 
-    Boundary chunks are merged through a persistent VMEM tail-carry (the
-    previous tile's last merged chunk), so the grid must execute
-    sequentially ("arbitrary" semantics — single-core v5e anyway)."""
+    ``aligned``: promise that every tile segment starts at a KB boundary
+    (the production layout since _align_compact) — no chunk straddles two
+    tiles, so the boundary tail-merge is skipped entirely.
+
+    Unaligned boundary chunks are merged through a persistent VMEM
+    tail-carry (the previous tile's last merged chunk), so the grid must
+    execute sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     nc = records.shape[1]
     dpairs = pl.pallas_call(
-        _bwd_kernel,
+        functools.partial(_bwd_kernel, aligned),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_tiles,),
@@ -807,22 +838,24 @@ def _segment_starts(tiles_c: jnp.ndarray, n_tiles: int) -> jnp.ndarray:
 # ------------------------------------------------------------- full wrapper
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6))
-def _composite(records, starts, counts, bg, nx, ny, interpret):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5, 6, 7))
+def _composite(records, starts, counts, bg, nx, ny, interpret, aligned=False):
     return pallas_composite_fwd(records, starts, counts, nx, ny, bg,
                                 interpret=interpret)
 
 
-def _composite_fwd(records, starts, counts, bg, nx, ny, interpret):
+def _composite_fwd(records, starts, counts, bg, nx, ny, interpret,
+                   aligned=False):
     out = pallas_composite_fwd(records, starts, counts, nx, ny, bg,
                                interpret=interpret)
     return out, (records, starts, counts, bg, out)
 
 
-def _composite_bwd(nx, ny, interpret, res, dout):
+def _composite_bwd(nx, ny, interpret, aligned, res, dout):
     records, starts, counts, bg, out = res
     dpairs = pallas_composite_bwd(
         records, starts, counts, nx, ny, out, dout, interpret=interpret,
+        aligned=aligned,
     )
     # lanes past the last valid pair were never written (uninitialized HBM)
     n_real = starts[-1]
@@ -1017,7 +1050,8 @@ def rasterize_pallas(
     )  # [16, NC]; the concat VJP is a row slice
 
     out = _composite(records_t, starts_al, counts_k,
-                     jnp.asarray(bg_color, jnp.float32), nx, ny, interpret)
+                     jnp.asarray(bg_color, jnp.float32), nx, ny, interpret,
+                     True)
     # out [nt, NPIX, 3] is the FINAL tile image (bg composited in-kernel);
     # one relayout to [3, H, W] is the only XLA op left on the image path
     img = out.reshape(ny, nx, TILE, TILE, 3)
