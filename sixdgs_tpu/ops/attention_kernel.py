@@ -8,12 +8,14 @@ identification_module.py:82):
     logits   = Q K^T / sqrt(d), padded rays -> -9e15
     score_j  = sum_{p in patch_mask} softmax_row_p(logits)_j
 
-On the INFERENCE path the k-projection runs ONCE as an XLA matmul (MXU-peak
-[N, d] x [d, d]) and the kernel streams the projected K: at the production
-shapes (B=2048, P=256, d=384) the per-block k-projection costs 3x the logits
-matmul, so hoisting it out of both passes removes ~60% of the forward kernel
-FLOPs for the same HBM traffic (K replaces the feats stream; the transient
-[N, d] buffer is irrelevant when nothing is differentiated).
+The k-projection runs IN-KERNEL on every path. Round 4 tried hoisting it to
+one XLA matmul on the inference path (a ~60% kernel-FLOP cut); round-5
+chained timing showed that LOSES at scale — 131k rays, split3: 5.24 ms vs
+the in-kernel trained forward's ~2 ms — because the kernel is HBM-bound,
+not FLOP-bound, at production shapes: hoisting turns two [N, d] feats
+streams into feats-read + K-write + 2x K-read (2x the traffic) plus an
+extra dispatch. The projection MACs ride the same MXU passes the logits
+already pay for. (BASELINE.md round-5 "hoisted-K" row.)
 
 Two streaming passes over ray blocks with online max/sum-exp stats kept in
 VMEM scratch (flash-attention style, but the reduction axis is the ray axis
@@ -111,34 +113,11 @@ def _softmax_colsums(mode, logits, pmask_ref, valid_ref, out_ref, m_ref,
             s_ref[:] = s_scr[:]
 
 
-def _fwd_kernel(mode, q_ref, k_ref, pmask_ref, valid_ref,
-                out_ref, m_ref, s_ref, m_scr, s_scr):
-    """INFERENCE forward: K is projected ONCE outside the kernel (one
-    [N, d] x [d, d] XLA matmul at MXU peak) instead of once per
-    (pass, block) — the k-projection is B/P = 3-8x the logits matmul's MACs
-    per block at production shapes, so hoisting it removes ~60% of the
-    kernel FLOPs for the same HBM traffic (K replaces the feats stream).
-    The TRAINED path keeps in-kernel projection (_fwd_kernel_train): a
-    materialized K is an [N, d] f32 buffer LARGER than the [P, N] logits at
-    d=384, which would forfeit the tested streaming-memory property."""
-    p = pl.program_id(0)
-    b = pl.program_id(1)
-
-    @pl.when((p == 0) & (b == 0))
-    def _():
-        m_scr[:] = jnp.full_like(m_scr, -jnp.inf)
-        s_scr[:] = jnp.zeros_like(s_scr)
-
-    d = q_ref.shape[-1]
-    logits = _dot(q_ref[:], k_ref[:], mode, _DN_NT) / math.sqrt(d)
-    _softmax_colsums(mode, logits, pmask_ref, valid_ref, out_ref, m_ref,
-                     s_ref, m_scr, s_scr, p, b)
-
-
 def _fwd_kernel_train(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref,
                       valid_ref, out_ref, m_ref, s_ref, m_scr, s_scr):
-    """TRAINING forward: per-block in-kernel k-projection so no [N, d] K
-    buffer is ever materialized (see _fwd_kernel)."""
+    """Forward (inference AND training): per-block in-kernel k-projection so
+    no [N, d] K buffer is ever materialized — hoisting K doubles HBM traffic
+    and measured slower (module docstring)."""
     p = pl.program_id(0)
     b = pl.program_id(1)
 
@@ -168,8 +147,8 @@ def _bwd_kernel(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref,
         dbk_scr[:] = jnp.zeros_like(dbk_scr)
 
     # in-kernel k-projection (not a residual): storing K would cost an
-    # [N, d] f32 buffer bigger than the [P, N] logits at d=384 (see
-    # _fwd_kernel docstring)
+    # [N, d] f32 buffer bigger than the [P, N] logits at d=384 (module
+    # docstring)
     k = _dot(feats_ref[:], wk_ref[:], mode) + bk_ref[:]  # [B, d]
     d = q_ref.shape[-1]
     logits = _dot(q_ref[:], k, mode, _DN_NT) / math.sqrt(d)
@@ -198,47 +177,6 @@ def _bwd_kernel(mode, q_ref, feats_ref, wk_ref, bk_ref, pmask_ref, valid_ref,
             dq_ref[:] = dq_scr[:]
             dwk_ref[:] = dwk_scr[:]
             dbk_ref[:] = dbk_scr[:]
-
-
-def _project_k(ray_feats, wk, bk, mode):
-    """K = ray_feats @ Wk + bk as ONE XLA matmul (MXU-peak, vs once per
-    (pass, block) inside the kernels — the k-projection is ~3x the logits
-    matmul's MACs per block at production shapes)."""
-    return _dot(ray_feats, wk, mode) + bk
-
-
-def _fused_fwd_call(q, k_all, pmask, valid, block, interpret, mode):
-    P, d = q.shape
-    N = k_all.shape[0]
-    nb = N // block
-    out, m, s = pl.pallas_call(
-        functools.partial(_fwd_kernel, mode),
-        grid=(2, nb),
-        in_specs=[
-            pl.BlockSpec((P, d), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((block, d), lambda p, b: (b, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
-        ],
-        out_specs=(
-            pl.BlockSpec((1, block), lambda p, b: (0, b), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((P, 1), lambda p, b: (0, 0), memory_space=pltpu.VMEM),
-        ),
-        out_shape=(
-            jax.ShapeDtypeStruct((1, N), jnp.float32),
-            jax.ShapeDtypeStruct((P, 1), jnp.float32),
-            jax.ShapeDtypeStruct((P, 1), jnp.float32),
-        ),
-        scratch_shapes=[
-            pltpu.VMEM((P, 1), jnp.float32),
-            pltpu.VMEM((P, 1), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(
-            vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(q, k_all, pmask, valid)
-    return out, m, s
 
 
 def _fused_fwd_call_train(q, ray_feats, wk, bk, pmask, valid, block,
@@ -281,11 +219,12 @@ def _fused_fwd_call_train(q, ray_feats, wk, bk, pmask, valid, block,
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
 def _fused_scores(q, ray_feats, wk, bk, pmask, valid, block, interpret, mode):
-    # inference primal: hoisted K (transient [N, d] buffer is fine when
-    # nothing is being differentiated; ~60% fewer kernel FLOPs)
-    k_all = _project_k(ray_feats, wk, bk, mode)
-    out, _, _ = _fused_fwd_call(q, k_all, pmask, valid, block,
-                                interpret, mode)
+    # inference primal == trained forward: in-kernel k-projection. The r4
+    # hoisted-K variant (XLA matmul + K-streaming kernel) measured SLOWER
+    # (131k split3: 5.24 ms fwd vs 4.02 ms full fwd+bwd) — HBM-bound, and
+    # hoisting doubles the [N, d] traffic (module docstring).
+    out, _, _ = _fused_fwd_call_train(q, ray_feats, wk, bk, pmask, valid,
+                                      block, interpret, mode)
     return out[0]
 
 

@@ -97,11 +97,11 @@ class TestFusedAttentionVJP:
         return q, feats, wk, bk, pmask, jnp.asarray(valid), g
 
     def test_inference_and_train_forwards_agree(self):
-        """The INFERENCE primal hoists the k-projection out of the kernel
-        (one XLA matmul + projected-K streaming) while the TRAINED path
-        projects in-kernel per block (keeping the O(block) temp bound).
-        Same math, different matmul association — the two forwards must
-        agree to fp-reassociation tolerance."""
+        """Since the r5 de-hoisting fix the INFERENCE primal runs the same
+        in-kernel-projection kernel as the TRAINED forward (the r4 hoisted-K
+        variant doubled HBM traffic and measured slower than fwd+bwd at 131k
+        rays). The two forwards must agree — now bit-for-bit, but keep the
+        fp-reassociation tolerance so the test doesn't pin implementation."""
         q, feats, wk, bk, pmask, valid, g = self._problem()
 
         def loss(q, feats, wk, bk):

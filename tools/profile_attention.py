@@ -1,8 +1,9 @@
 """Honest (chained) characterization of the fused attention paths (VERDICT r5).
 
 Compares, per precision mode and ray count:
-  - inference primal (hoisted-K: XLA k-projection + _fwd_kernel over an
-    HBM K buffer — attention_kernel.py::_fused_scores)
+  - inference primal (attention_scores_fused without grad — since the r5
+    de-hoisting fix this is the same in-kernel-projection kernel as the
+    trained forward, so the two columns should agree)
   - trained-path forward alone (in-kernel k-projection, O(block) temps —
     _fused_fwd_call_train)
   - fwd+bwd through the custom VJP (value_and_grad)
