@@ -263,24 +263,30 @@ def bench_compositing_kernel(P=131072, W=1232, H=816):
 
     bg = jnp.zeros(3, jnp.float32)
 
+    # production train path: fwd stores the serial transmittance, the
+    # aligned backward rereads it instead of replaying the scan (14 vs 18
+    # per-chunk MXU passes)
     def fwd(r, s, c):
-        return PT.pallas_composite_fwd(r, s, c, nx, ny, bg)
+        return PT.pallas_composite_fwd(r, s, c, nx, ny, bg, store_t=True)
 
     ms = chained_call_ms(fwd, rec_t, starts, counts, n=20, chain_arg=0)
     n_real = int(starts[-1])
     bytes_moved = (PT.COLS * n_real * 4  # record rows streamed once
+                   + PT.NPIX * n_real * 4  # Texcl store
                    + nx * ny * 3 * 256 * 4)  # out tiles written
     gbps = bytes_moved / (ms * 1e-3) / 1e9
 
-    out = fwd(rec_t, starts, counts)
+    out, texcl = fwd(rec_t, starts, counts)
     _fetch(out)
 
-    def bwd(r, s, c, o):
-        return PT.pallas_composite_bwd(r, s, c, nx, ny, o, o * 1e-3)
+    def bwd(r, s, c, o, tx):
+        return PT.pallas_composite_bwd(r, s, c, nx, ny, o, o * 1e-3,
+                                       aligned=True, texcl=tx)
 
-    ms_bwd = chained_call_ms(bwd, rec_t, starts, counts, out,
+    ms_bwd = chained_call_ms(bwd, rec_t, starts, counts, out, texcl,
                              n=20, chain_arg=0)
     bwd_bytes = (2 * PT.COLS * n_real * 4  # records read + dpairs written
+                 + PT.NPIX * n_real * 4  # Texcl reread
                  + nx * ny * 6 * 256 * 4)  # out/dout tiles read
     gbps_bwd = bwd_bytes / (ms_bwd * 1e-3) / 1e9
     return {

@@ -266,21 +266,37 @@ def _read_dma(records_hbm, tbuf, sem, base, ci, slot):
     )
 
 
+class _PairCopy:
+    """Two async copies driven as one ring entry (records + Texcl chunks
+    share the ring indices in the stored-transmittance backward)."""
+
+    def __init__(self, *copies):
+        self.copies = copies
+
+    def start(self):
+        for c in self.copies:
+            c.start()
+
+    def wait(self):
+        for c in self.copies:
+            c.wait()
+
+
 RING = 4  # in-instance streaming read slots (prefetch distance 3)
 
 
-def _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf, sem, t,
-                          base, n_chunks):
+def _first_chunk_prefetch(starts_ref, counts_ref, dma_at, t, base, n_chunks):
     """Cross-instance pipelining of each tile's FIRST chunk: tbuf slots
     0..RING-1 stream within the instance; slots RING/RING+1 (by tile parity)
     hold chunk 0, prefetched by the PREVIOUS grid instance so the per-tile
-    DMA stall is hidden (instance 0 self-starts). Returns chunk 0's slot for
-    this tile."""
+    DMA stall is hidden (instance 0 self-starts). ``dma_at(base, ci, slot)``
+    builds the chunk copy (a _PairCopy when two streams share the ring).
+    Returns chunk 0's slot for this tile."""
     my0 = RING + jax.lax.rem(t, 2)
 
     @pl.when((t == 0) & (n_chunks > 0))
     def _():
-        _read_dma(records_hbm, tbuf, sem, base, 0, my0).start()
+        dma_at(base, 0, my0).start()
 
     @pl.when(t + 1 < pl.num_programs(0))
     def _():
@@ -290,8 +306,7 @@ def _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf, sem, t,
 
         @pl.when(nn > 0)
         def _():
-            _read_dma(records_hbm, tbuf, sem, nbase, 0,
-                      RING + jax.lax.rem(t + 1, 2)).start()
+            dma_at(nbase, 0, RING + jax.lax.rem(t + 1, 2)).start()
 
     return my0
 
@@ -332,8 +347,13 @@ def _drain_reads(dma, ci_exit, n_chunks):
             dma(c, jax.lax.rem(c, RING)).wait()
 
 
-def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
-                tbuf, sem):
+def _fwd_kernel(store_t, starts_ref, counts_ref, nx_ref, bg_ref, records_hbm,
+                out_ref, *rest):
+    if store_t:
+        texcl_hbm, tbuf, sem, wbuf, wsem = rest
+    else:
+        tbuf, sem = rest
+        texcl_hbm = wbuf = wsem = None
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -343,11 +363,21 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
     ox = ((t % nx) * TILE).astype(jnp.float32)
     oy = ((t // nx) * TILE).astype(jnp.float32)
 
-    def dma(ci, slot):
-        return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
+    def dma_at(b, ci, slot):
+        return _read_dma(records_hbm, tbuf, sem, b, ci, slot)
 
-    my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
-                                sem, t, base, n_chunks)
+    def dma(ci, slot):
+        return dma_at(base, ci, slot)
+
+    def dma_t(ci, wslot):
+        # Texcl write-back: chunk ci of this segment owns the KB-aligned
+        # texcl block base//KB + ci (aligned layout: segments start at KB
+        # boundaries, so no block is shared between tiles)
+        return pltpu.make_async_copy(
+            wbuf.at[wslot], texcl_hbm.at[base // KB + ci], wsem.at[wslot])
+
+    my0 = _first_chunk_prefetch(starts_ref, counts_ref, dma_at, t, base,
+                                n_chunks)
     _start_ring(dma, n_chunks)
     triS, _ = _tri_mats(KB)
 
@@ -358,7 +388,23 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
         lo = jnp.maximum(lead - ci * KB, 0)
         hi = lead + count - ci * KB
         alpha, _, _, _ = _chunk_alpha(buf, px, py, ox, oy, lo, hi)
-        w, _, _, LT, done = _composite_chunk(alpha, LT, done, triS)
+        w, Texcl, _, LT, done = _composite_chunk(alpha, LT, done, triS)
+        if store_t:
+            # store the serial transmittance so the backward skips the
+            # whole replay scan (4 of its 18 per-chunk MXU passes): the
+            # kernels are per-chunk COMPUTE-bound (BASELINE round-4 shape
+            # sweep), so the extra [NPIX, KB] f32 write (~0.16 us/chunk at
+            # HBM peak vs ~1.5 us/chunk compute) rides the existing ring
+            # slack. Values are the f32 Texcl the backward replay would
+            # recompute — bitwise identical gradients.
+            wslot = jax.lax.rem(ci, WRING)
+
+            @pl.when(ci >= WRING)
+            def _():
+                dma_t(ci - WRING, wslot).wait()
+
+            wbuf[wslot] = Texcl
+            dma_t(ci, wslot).start()
         colors = buf[5:8, :]  # [3, KB]
         # 3-pass hi/lo-bf16 color accumulation (vs HIGHEST's 6): the dropped
         # lo*lo term is ~2^-16 relative, and sum(w) <= 1 bounds the absolute
@@ -375,7 +421,9 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
     # EARLY TILE EXIT (CUDA all-threads-done break): once every pixel has
     # latched done, every later chunk's carries are frozen and contributions
     # zero — skipping them is bit-identical. Only the in-flight read ring
-    # needs draining.
+    # needs draining (and the stored-T backward stops at the SAME chunk —
+    # its done recurrence sees the same stored values — so the unwritten
+    # texcl blocks past ci_exit are never read).
     def loop_step(s):
         ci, carry, _ = s
         new = chunk_body(ci, carry)
@@ -387,6 +435,14 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
         (0, (LT0, D0, C0), False),
     )
     _drain_reads(dma, ci_exit, n_chunks)
+    if store_t:
+        # drain outstanding Texcl writes (no zero-fill: the backward never
+        # reads past its own early exit, which matches ci_exit)
+        for back in range(WRING, 0, -1):
+            @pl.when(ci_exit >= back)
+            def _(back=back):
+                dma_t(ci_exit - back,
+                      jax.lax.rem(ci_exit - back, WRING)).wait()
     # background composited IN-KERNEL: the kernel's output IS the final tile
     # image, so the XLA side keeps no separate color/trans streams (and the
     # backward needs no dcolor/dtrans plumbing — see S = <d_out, out>)
@@ -399,9 +455,15 @@ def _fwd_kernel(starts_ref, counts_ref, nx_ref, bg_ref, records_hbm, out_ref,
 WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
 
 
-def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
-                dout_ref, out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem,
-                gsem):
+def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
+                *rest):
+    if stored:
+        (texcl_hbm, dout_ref, out_ref, dpairs_hbm, tbuf, t2buf, gbuf,
+         tailbuf, sem, sem2, gsem) = rest
+    else:
+        (dout_ref, out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem,
+         gsem) = rest
+        texcl_hbm = t2buf = sem2 = None
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -444,8 +506,16 @@ def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
         jnp.concatenate([zero8, dC_lo], axis=1),
     ], axis=0)  # [5*NPIX, 11]
 
+    def dma_at(b, ci, slot):
+        rec = _read_dma(records_hbm, tbuf, sem, b, ci, slot)
+        if not stored:
+            return rec
+        # Texcl chunks ride the SAME ring indices as the record chunks
+        return _PairCopy(rec, pltpu.make_async_copy(
+            texcl_hbm.at[b // KB + ci], t2buf.at[slot], sem2.at[slot]))
+
     def dma(ci, slot):
-        return _read_dma(records_hbm, tbuf, sem, base, ci, slot)
+        return dma_at(base, ci, slot)
 
     def dma_w(ci, gslot):
         return pltpu.make_async_copy(
@@ -454,8 +524,8 @@ def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
             gsem.at[gslot],
         )
 
-    my0 = _first_chunk_prefetch(starts_ref, counts_ref, records_hbm, tbuf,
-                                sem, t, base, n_chunks)
+    my0 = _first_chunk_prefetch(starts_ref, counts_ref, dma_at, t, base,
+                                n_chunks)
     _start_ring(dma, n_chunks)
 
     def chunk_body(ci, carry):
@@ -472,8 +542,19 @@ def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
                 + dC_cols[:, 1:2] * colors[1:2, :]
                 + dC_cols[:, 2:3] * colors[2:3, :])  # [NPIX, KB]
 
-        w, Texcl, contribute, LT, done = _composite_chunk(
-            alpha, LT, done, triS)
+        if stored:
+            # transmittance REREAD, not replayed: Texcl is the forward's own
+            # f32 store, so the per-chunk scan (4 MXU passes) disappears and
+            # the contribute/done recurrence is the same pure-VPU test
+            # _composite_chunk applies — gradients stay bitwise identical
+            Texcl = t2buf[slot]  # [NPIX, KB]
+            contribute = ((Texcl * (1.0 - alpha) >= T_EPS)
+                          & (done < 0.5))
+            w = jnp.where(contribute, alpha * Texcl, 0.0)
+            done = jnp.where(contribute[:, -1:], done, 1.0)
+        else:
+            w, Texcl, contribute, LT, done = _composite_chunk(
+                alpha, LT, done, triS)
         # inclusive prefix of <dC, c_j> w_j, replayed in parallel (2-pass
         # bf16-split MXU scan: ~2^-16 relative, ample for a gradient prefix)
         acc_i = acc + _matmul_scan(dbuf * w, triI)  # [NPIX, KB]
@@ -620,43 +701,61 @@ def _bwd_kernel(aligned, starts_ref, counts_ref, nx_ref, records_hbm,
 
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
                          counts: jnp.ndarray, nx: int, ny: int,
-                         bg: jnp.ndarray, interpret: bool = False):
+                         bg: jnp.ndarray, interpret: bool = False,
+                         store_t: bool = False):
     """records: [16, NC] sorted compact pair record planes (9 live rows;
     NC a KB multiple); starts [n_tiles+1]; counts [n_tiles]; bg [3].
     Returns the final composited tile images out [n_tiles, NPIX, 3]
-    (pixels in sublanes — out = C + T*bg, background applied in-kernel)."""
+    (pixels in sublanes — out = C + T*bg, background applied in-kernel).
+
+    ``store_t``: also return the per-(pixel, pair) serial transmittance
+    Texcl as [NC//KB, NPIX, KB] f32 chunk blocks, for the stored-T backward
+    (requires the KB-aligned segment layout — one owner tile per block)."""
     n_tiles = nx * ny
-    out = pl.pallas_call(
-        _fwd_kernel,
+    nc = records.shape[1]
+    scratch = [
+        # slots 0..RING-1: in-instance streaming ring (prefetch
+        # distance RING-1); RING/RING+1: cross-instance first-chunk
+        # prefetch (by tile parity)
+        pltpu.VMEM((RING + 2, COLS, KB), jnp.float32),  # tbuf
+        pltpu.SemaphoreType.DMA((RING + 2,)),
+    ]
+    out_specs = pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
+                             memory_space=pltpu.VMEM)
+    out_shape = jax.ShapeDtypeStruct((n_tiles, NPIX, 3), jnp.float32)
+    if store_t:
+        scratch += [
+            pltpu.VMEM((WRING, NPIX, KB), jnp.float32),  # wbuf (Texcl ring)
+            pltpu.SemaphoreType.DMA((WRING,)),
+        ]
+        out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
+        out_shape = [out_shape,
+                     jax.ShapeDtypeStruct((nc // KB, NPIX, KB), jnp.float32)]
+    res = pl.pallas_call(
+        functools.partial(_fwd_kernel, store_t),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=4,
             grid=(n_tiles,),
             in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-            out_specs=pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
-                                   memory_space=pltpu.VMEM),
-            scratch_shapes=[
-                # slots 0..RING-1: in-instance streaming ring (prefetch
-                # distance RING-1); RING/RING+1: cross-instance first-chunk
-                # prefetch (by tile parity)
-                pltpu.VMEM((RING + 2, COLS, KB), jnp.float32),  # tbuf
-                pltpu.SemaphoreType.DMA((RING + 2,)),
-            ],
+            out_specs=out_specs,
+            scratch_shapes=scratch,
         ),
         compiler_params=pltpu.CompilerParams(
             # cross-instance first-chunk prefetch requires sequential grid
             # execution (single-core v5e runs it sequentially regardless)
-            dimension_semantics=("arbitrary",)
+            dimension_semantics=("arbitrary",),
+            has_side_effects=bool(store_t),
         ),
-        out_shape=jax.ShapeDtypeStruct((n_tiles, NPIX, 3), jnp.float32),
+        out_shape=out_shape,
         interpret=interpret,
     )(starts, counts, jnp.asarray([nx], jnp.int32),
       jnp.asarray(bg, jnp.float32), records)
-    return out
+    return res
 
 
 def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
                          dout, interpret: bool = False,
-                         aligned: bool = False):
+                         aligned: bool = False, texcl=None):
     """Per-pair gradients [16, NC] (same compact layout as records).
 
     ``out`` is the forward's own output (the residual), ``dout`` the
@@ -673,33 +772,47 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
     execute sequentially ("arbitrary" semantics — single-core v5e anyway)."""
     n_tiles = nx * ny
     nc = records.shape[1]
+    stored = texcl is not None
+    assert not stored or aligned, "stored-T backward requires aligned layout"
+    in_specs = [pl.BlockSpec(memory_space=pl.ANY)]
+    if stored:
+        in_specs.append(pl.BlockSpec(memory_space=pl.ANY))  # texcl blocks
+    in_specs += [
+        pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    scratch = [pltpu.VMEM((RING + 2, COLS, KB), jnp.float32)]  # tbuf
+    if stored:
+        scratch.append(pltpu.VMEM((RING + 2, NPIX, KB), jnp.float32))  # t2buf
+    scratch += [
+        pltpu.VMEM((WRING, COLS, KB), jnp.float32),  # gbuf
+        pltpu.VMEM((COLS, KB), jnp.float32),  # tailbuf (boundary carry)
+        pltpu.SemaphoreType.DMA((RING + 2,)),  # sem (reads)
+    ]
+    if stored:
+        scratch.append(pltpu.SemaphoreType.DMA((RING + 2,)))  # sem2 (texcl)
+    scratch.append(pltpu.SemaphoreType.DMA((WRING,)))  # gsem (writes)
+    operands = [starts, counts, jnp.asarray([nx], jnp.int32), records]
+    if stored:
+        operands.append(texcl)
+    operands += [dout, out]
     dpairs = pl.pallas_call(
-        functools.partial(_bwd_kernel, aligned),
+        functools.partial(_bwd_kernel, aligned, stored),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=3,
             grid=(n_tiles,),
-            in_specs=[
-                pl.BlockSpec(memory_space=pl.ANY),
-                pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-                pl.BlockSpec((1, NPIX, 3), lambda t, *_: (t, 0, 0),
-                             memory_space=pltpu.VMEM),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(memory_space=pl.ANY),
-            scratch_shapes=[
-                pltpu.VMEM((RING + 2, COLS, KB), jnp.float32),  # tbuf
-                pltpu.VMEM((WRING, COLS, KB), jnp.float32),  # gbuf
-                pltpu.VMEM((COLS, KB), jnp.float32),  # tailbuf (boundary carry)
-                pltpu.SemaphoreType.DMA((RING + 2,)),  # sem (reads)
-                pltpu.SemaphoreType.DMA((WRING,)),  # gsem (writes)
-            ],
+            scratch_shapes=scratch,
         ),
         out_shape=jax.ShapeDtypeStruct((COLS, nc), jnp.float32),
         compiler_params=pltpu.CompilerParams(
             has_side_effects=True, dimension_semantics=("arbitrary",)
         ),
         interpret=interpret,
-    )(starts, counts, jnp.asarray([nx], jnp.int32), records, dout, out)
+    )(*operands)
     return dpairs
 
 
@@ -846,16 +959,26 @@ def _composite(records, starts, counts, bg, nx, ny, interpret, aligned=False):
 
 def _composite_fwd(records, starts, counts, bg, nx, ny, interpret,
                    aligned=False):
-    out = pallas_composite_fwd(records, starts, counts, nx, ny, bg,
-                               interpret=interpret)
-    return out, (records, starts, counts, bg, out)
+    if aligned:
+        # aligned layout -> store the serial transmittance so the backward
+        # skips its replay scan (fwd+bwd drop from 18 to 14 per-chunk MXU
+        # passes; the store is bitwise what the replay recomputes). The
+        # no-grad primal (_composite) never pays the store.
+        out, texcl = pallas_composite_fwd(records, starts, counts, nx, ny,
+                                          bg, interpret=interpret,
+                                          store_t=True)
+    else:
+        out = pallas_composite_fwd(records, starts, counts, nx, ny, bg,
+                                   interpret=interpret)
+        texcl = None
+    return out, (records, starts, counts, bg, out, texcl)
 
 
 def _composite_bwd(nx, ny, interpret, aligned, res, dout):
-    records, starts, counts, bg, out = res
+    records, starts, counts, bg, out, texcl = res
     dpairs = pallas_composite_bwd(
         records, starts, counts, nx, ny, out, dout, interpret=interpret,
-        aligned=aligned,
+        aligned=aligned, texcl=texcl,
     )
     # lanes past the last valid pair were never written (uninitialized HBM)
     n_real = starts[-1]

@@ -332,3 +332,68 @@ class TestEdgeCases:
                 img, np.broadcast_to(np.asarray(bg)[:, None, None], img.shape),
                 atol=1e-6)
             np.testing.assert_allclose(np.asarray(dcol), 0.0, atol=1e-7)
+
+
+class TestStoredTransmittanceBackward:
+    """The aligned production path stores the forward's serial transmittance
+    (pallas_composite_fwd(store_t=True)) and the backward rereads it instead
+    of replaying the scan. Both kernels run the same f32 arithmetic on the
+    same operands, so gradients must be BITWISE equal to the replay
+    backward's on every real lane."""
+
+    @staticmethod
+    def _aligned_case(counts, seed=0):
+        from sixdgs_tpu.ops.rasterizer import pallas_tiles as PT
+
+        rng = np.random.default_rng(seed)
+        nx, ny = 3, 2
+        counts = np.asarray(counts, np.int32)
+        spans = [-(-int(c) // PT.KB) * PT.KB for c in counts]
+        starts = np.zeros(nx * ny + 1, np.int32)
+        starts[1:] = np.cumsum(spans)
+        nc = int(starts[-1]) + PT.KB
+        rec = np.zeros((PT.COLS, nc), np.float32)
+        for t in range(nx * ny):
+            s, c = starts[t], int(counts[t])
+            ox, oy = (t % nx) * 16, (t // nx) * 16
+            rec[0, s:s + c] = rng.uniform(ox - 4, ox + 20, c)
+            rec[1, s:s + c] = rng.uniform(oy - 4, oy + 20, c)
+            rec[2, s:s + c] = rng.uniform(0.05, 0.3, c)
+            rec[3, s:s + c] = rng.uniform(-0.05, 0.05, c)
+            rec[4, s:s + c] = rng.uniform(0.05, 0.3, c)
+            rec[5:8, s:s + c] = rng.uniform(0, 1, (3, c))
+            rec[8, s:s + c] = rng.uniform(0.1, 0.99, c)
+        mask = np.zeros(nc, bool)
+        for t in range(nx * ny):
+            mask[starts[t]:starts[t] + counts[t]] = True
+        return (PT, nx, ny, jnp.asarray(rec), jnp.asarray(starts),
+                jnp.asarray(counts), mask)
+
+    @pytest.mark.parametrize("case", ["mixed", "early_exit"])
+    def test_bitwise_vs_replay(self, case):
+        counts = [50, 0, 130, 128, 300, 7]
+        seed = 0
+        PT, nx, ny, rec, starts, counts_j, mask = self._aligned_case(
+            counts, seed)
+        if case == "early_exit":
+            # saturate opacity on the front pairs of the deep segment so
+            # every pixel latches done before the last chunk — exercises the
+            # fwd store drain + the stored bwd's matching early exit
+            rec = rec.at[8, 512:512 + 140].set(0.999)
+        bg = jnp.asarray([0.1, 0.2, 0.3], jnp.float32)
+        out, texcl = PT.pallas_composite_fwd(
+            rec, starts, counts_j, nx, ny, bg, interpret=True, store_t=True)
+        out_plain = PT.pallas_composite_fwd(
+            rec, starts, counts_j, nx, ny, bg, interpret=True)
+        assert bool(jnp.all(out == out_plain))
+        rngd = np.random.default_rng(99)
+        dout = jnp.asarray(rngd.normal(size=out.shape), jnp.float32)
+        dp_replay = PT.pallas_composite_bwd(
+            rec, starts, counts_j, nx, ny, out, dout, interpret=True,
+            aligned=True)
+        dp_stored = PT.pallas_composite_bwd(
+            rec, starts, counts_j, nx, ny, out, dout, interpret=True,
+            aligned=True, texcl=texcl)
+        a = np.asarray(dp_replay)[:, mask]
+        b = np.asarray(dp_stored)[:, mask]
+        assert (a == b).all(), float(np.abs(a - b).max())

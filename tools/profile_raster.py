@@ -139,16 +139,23 @@ def pglue_breakdown(proj, P, W, H, n=20):
     out["compact row gather"] = timeit(stage_gather, rec, gidx_al, n=n)
 
     bg = jnp.zeros(3, jnp.float32)
+    # production train path: fwd stores the serial transmittance (store_t)
+    # and the aligned backward rereads it instead of replaying the scan
     kf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(
-        r, s, c, nx, ny, bg))
+        r, s, c, nx, ny, bg, store_t=True))
     out["fwd kernel"] = timeit(kf, recs, starts_al, counts_k, n=n)
+    kf_inf = jax.jit(lambda r, s, c: PT.pallas_composite_fwd(
+        r, s, c, nx, ny, bg))
+    out["fwd kernel (inference, no T store)"] = timeit(
+        kf_inf, recs, starts_al, counts_k, n=n)
 
-    img = jax.block_until_ready(kf(recs, starts_al, counts_k))
-    kb = jax.jit(lambda r, s, c, o: PT.pallas_composite_bwd(
-        r, s, c, nx, ny, o, o * 1e-3))
-    out["bwd kernel"] = timeit(kb, recs, starts_al, counts_k, img, n=n)
+    img, texcl = jax.block_until_ready(kf(recs, starts_al, counts_k))
+    kb = jax.jit(lambda r, s, c, o, tx: PT.pallas_composite_bwd(
+        r, s, c, nx, ny, o, o * 1e-3, aligned=True, texcl=tx))
+    out["bwd kernel"] = timeit(kb, recs, starts_al, counts_k, img, texcl,
+                               n=n)
 
-    dpairs = jax.block_until_ready(kb(recs, starts_al, counts_k, img))
+    dpairs = jax.block_until_ready(kb(recs, starts_al, counts_k, img, texcl))
 
     @jax.jit
     def stage_bwd_route(dpairs, gidx_al, ends_g, counts_g):
