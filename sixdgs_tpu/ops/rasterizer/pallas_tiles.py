@@ -266,6 +266,60 @@ def _read_dma(records_hbm, tbuf, sem, base, ci, slot):
     )
 
 
+class _LazyWriteRing:
+    """Cross-instance lazy HBM write ring.
+
+    The per-instance write-drain (wait the last WRING writes before the
+    instance ends) costs ~0.2-0.5 us of DMA-completion latency per grid
+    instance — at Mip-360 scale segments average ~1.4 chunks, so nearly
+    every chunk pays it. In the ALIGNED layout each HBM block has exactly
+    one owner write, so cross-instance ordering is free and a write only
+    needs waiting when its VMEM slot is next REUSED — usually several
+    instances later, by which point it long completed.
+
+    ``pend`` is SMEM scratch [WRING+1] int32 persisting across the
+    sequential grid (same guarantee the parity prefetch / tailbuf rely on):
+    pend[k] = HBM block id of the outstanding write in slot k (-1 = none),
+    pend[WRING] = monotone write counter (slot = counter % WRING — block
+    ids can skip on early exit, so they can't index the ring themselves).
+    Instance 0 calls init(); every instance calls push() per block; the
+    LAST instance drains."""
+
+    def __init__(self, buf, sem, pend, dst_at):
+        self.buf, self.sem, self.pend, self.dst_at = buf, sem, pend, dst_at
+
+    def _copy(self, slot, block):
+        return pltpu.make_async_copy(self.buf.at[slot], self.dst_at(block),
+                                     self.sem.at[slot])
+
+    def init(self, t):
+        @pl.when(t == 0)
+        def _():
+            for k in range(WRING):
+                self.pend[k] = -1
+            self.pend[WRING] = 0
+
+    def push(self, block, value):
+        slot = jax.lax.rem(self.pend[WRING], WRING)
+
+        @pl.when(self.pend[slot] >= 0)
+        def _():
+            self._copy(slot, self.pend[slot]).wait()
+
+        self.buf[slot] = value
+        self._copy(slot, block).start()
+        self.pend[slot] = block
+        self.pend[WRING] = self.pend[WRING] + 1
+
+    def drain(self, t):
+        @pl.when(t == pl.num_programs(0) - 1)
+        def _():
+            for k in range(WRING):
+                @pl.when(self.pend[k] >= 0)
+                def _(k=k):
+                    self._copy(k, self.pend[k]).wait()
+
+
 class _PairCopy:
     """Two async copies driven as one ring entry (records + Texcl chunks
     share the ring indices in the stored-transmittance backward)."""
@@ -350,10 +404,12 @@ def _drain_reads(dma, ci_exit, n_chunks):
 def _fwd_kernel(store_t, starts_ref, counts_ref, nx_ref, bg_ref, records_hbm,
                 out_ref, *rest):
     if store_t:
-        texcl_hbm, tbuf, sem, wbuf, wsem = rest
+        texcl_hbm, tbuf, sem, wbuf, wsem, wpend = rest
+        tring = _LazyWriteRing(wbuf, wsem, wpend,
+                               lambda blk: texcl_hbm.at[blk])
     else:
         tbuf, sem = rest
-        texcl_hbm = wbuf = wsem = None
+        tring = None
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -369,13 +425,8 @@ def _fwd_kernel(store_t, starts_ref, counts_ref, nx_ref, bg_ref, records_hbm,
     def dma(ci, slot):
         return dma_at(base, ci, slot)
 
-    def dma_t(ci, wslot):
-        # Texcl write-back: chunk ci of this segment owns the KB-aligned
-        # texcl block base//KB + ci (aligned layout: segments start at KB
-        # boundaries, so no block is shared between tiles)
-        return pltpu.make_async_copy(
-            wbuf.at[wslot], texcl_hbm.at[base // KB + ci], wsem.at[wslot])
-
+    if store_t:
+        tring.init(t)
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, dma_at, t, base,
                                 n_chunks)
     _start_ring(dma, n_chunks)
@@ -395,16 +446,12 @@ def _fwd_kernel(store_t, starts_ref, counts_ref, nx_ref, bg_ref, records_hbm,
             # kernels are per-chunk COMPUTE-bound (BASELINE round-4 shape
             # sweep), so the extra [NPIX, KB] f32 write (~0.16 us/chunk at
             # HBM peak vs ~1.5 us/chunk compute) rides the existing ring
-            # slack. Values are the f32 Texcl the backward replay would
-            # recompute — bitwise identical gradients.
-            wslot = jax.lax.rem(ci, WRING)
-
-            @pl.when(ci >= WRING)
-            def _():
-                dma_t(ci - WRING, wslot).wait()
-
-            wbuf[wslot] = Texcl
-            dma_t(ci, wslot).start()
+            # slack through the cross-instance lazy ring. Values are the
+            # f32 Texcl the backward replay would recompute — bitwise
+            # identical gradients. Chunk ci owns texcl block base//KB + ci
+            # (aligned layout: segments start at KB boundaries, one owner
+            # tile per block).
+            tring.push(base // KB + ci, Texcl)
         colors = buf[5:8, :]  # [3, KB]
         # 3-pass hi/lo-bf16 color accumulation (vs HIGHEST's 6): the dropped
         # lo*lo term is ~2^-16 relative, and sum(w) <= 1 bounds the absolute
@@ -436,13 +483,11 @@ def _fwd_kernel(store_t, starts_ref, counts_ref, nx_ref, bg_ref, records_hbm,
     )
     _drain_reads(dma, ci_exit, n_chunks)
     if store_t:
-        # drain outstanding Texcl writes (no zero-fill: the backward never
-        # reads past its own early exit, which matches ci_exit)
-        for back in range(WRING, 0, -1):
-            @pl.when(ci_exit >= back)
-            def _(back=back):
-                dma_t(ci_exit - back,
-                      jax.lax.rem(ci_exit - back, WRING)).wait()
+        # lazy ring: outstanding Texcl writes are awaited when their slot
+        # is next reused (usually instances later); only the LAST instance
+        # drains. No zero-fill: the backward never reads past its own early
+        # exit, which matches ci_exit.
+        tring.drain(t)
     # background composited IN-KERNEL: the kernel's output IS the final tile
     # image, so the XLA side keeps no separate color/trans streams (and the
     # backward needs no dcolor/dtrans plumbing — see S = <d_out, out>)
@@ -457,13 +502,16 @@ WRING = 3  # lazy gradient write-back slots (hide 2 chunks of write latency)
 
 def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
                 *rest):
-    if stored:
-        (texcl_hbm, dout_ref, out_ref, dpairs_hbm, tbuf, t2buf, gbuf,
-         tailbuf, sem, sem2, gsem) = rest
-    else:
-        (dout_ref, out_ref, dpairs_hbm, tbuf, gbuf, tailbuf, sem,
-         gsem) = rest
-        texcl_hbm = t2buf = sem2 = None
+    rest = list(rest)
+    texcl_hbm = rest.pop(0) if stored else None
+    dout_ref, out_ref, dpairs_hbm, tbuf = rest[:4]
+    rest = rest[4:]
+    t2buf = rest.pop(0) if stored else None
+    gbuf, tailbuf, sem = rest[:3]
+    rest = rest[3:]
+    sem2 = rest.pop(0) if stored else None
+    gsem = rest.pop(0)
+    gpend = rest.pop(0) if aligned else None
     t = pl.program_id(0)
     start = starts_ref[t]
     count = counts_ref[t]
@@ -524,6 +572,15 @@ def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
             gsem.at[gslot],
         )
 
+    if aligned:
+        # each KB block has ONE owner write (no straddled chunks), so the
+        # gradient writes go through the cross-instance lazy ring instead of
+        # draining at every instance end
+        gring = _LazyWriteRing(
+            gbuf, gsem, gpend,
+            lambda blk: dpairs_hbm.at[:, pl.ds(pl.multiple_of(blk * KB, KB),
+                                               KB)])
+        gring.init(t)
     my0 = _first_chunk_prefetch(starts_ref, counts_ref, dma_at, t, base,
                                 n_chunks)
     _start_ring(dma, n_chunks)
@@ -614,8 +671,9 @@ def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
         )  # [COLS, KB] — rows land in place, no transpose needed
         if aligned:
             # KB-aligned segment starts: no chunk straddles two tiles, so
-            # there is no previous-tile tail to merge (lo == 0 always)
-            merged = gnew
+            # there is no previous-tile tail to merge (lo == 0 always) and
+            # the write rides the cross-instance lazy ring
+            gring.push(base // KB + ci, gnew)
         else:
             lane = jax.lax.broadcasted_iota(jnp.int32, (COLS, KB), 1)
             # boundary chunk: lanes < lo belong to the PREVIOUS tile, whose
@@ -625,19 +683,18 @@ def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
             # VMEM copy instead of an HBM read-modify-write round trip.
             merged = jnp.where(lane < lo, tailbuf[:], gnew)
 
-        # lazy ring write-back: reclaim a gbuf slot only when the write
-        # issued WRING chunks ago has drained (instead of stalling on every
-        # chunk's write latency)
-        gslot = jax.lax.rem(ci, WRING)
+            # in-instance write ring: reclaim a gbuf slot only when the
+            # write issued WRING chunks ago has drained (instead of
+            # stalling on every chunk's write latency)
+            gslot = jax.lax.rem(ci, WRING)
 
-        @pl.when(ci >= WRING)
-        def _():
-            dma_w(ci - WRING, gslot).wait()
+            @pl.when(ci >= WRING)
+            def _():
+                dma_w(ci - WRING, gslot).wait()
 
-        gbuf[gslot] = merged
-        dma_w(ci, gslot).start()
+            gbuf[gslot] = merged
+            dma_w(ci, gslot).start()
 
-        if not aligned:
             @pl.when(ci == n_chunks - 1)
             def _():
                 tailbuf[:] = merged
@@ -666,37 +723,47 @@ def _bwd_kernel(aligned, stored, starts_ref, counts_ref, nx_ref, records_hbm,
     )
     _drain_reads(dma, ci_exit, n_chunks)
 
-    def zero_body(ci, _):
-        gslot = jax.lax.rem(ci, WRING)
+    if aligned:
+        def zero_body(ci, _):
+            gring.push(base // KB + ci,
+                       jnp.zeros((COLS, KB), jnp.float32))
+            return 0
 
-        @pl.when(ci >= WRING)
-        def _():
-            dma_w(ci - WRING, gslot).wait()
+        jax.lax.fori_loop(ci_exit, n_chunks, zero_body, 0)
+        # lazy ring: writes are awaited when their slot is reused; only the
+        # final grid instance drains
+        gring.drain(t)
+    else:
+        def zero_body(ci, _):
+            gslot = jax.lax.rem(ci, WRING)
 
-        # memset each slot only on its first zero-loop visit
-        @pl.when(ci < ci_exit + WRING)
-        def _():
-            gbuf[gslot] = jnp.zeros((COLS, KB), jnp.float32)
+            @pl.when(ci >= WRING)
+            def _():
+                dma_w(ci - WRING, gslot).wait()
 
-        dma_w(ci, gslot).start()
-        return 0
+            # memset each slot only on its first zero-loop visit
+            @pl.when(ci < ci_exit + WRING)
+            def _():
+                gbuf[gslot] = jnp.zeros((COLS, KB), jnp.float32)
 
-    jax.lax.fori_loop(ci_exit, n_chunks, zero_body, 0)
+            dma_w(ci, gslot).start()
+            return 0
 
-    if not aligned:
+        jax.lax.fori_loop(ci_exit, n_chunks, zero_body, 0)
+
         @pl.when(ci_exit < n_chunks)
         def _():
             # the tile's last written chunk is now all-zero; the next
             # instance's boundary merge must see that
             tailbuf[:] = jnp.zeros((COLS, KB), jnp.float32)
 
-    # drain outstanding gradient writes before the next instance reads its
-    # boundary chunk
-    for back in range(WRING, 0, -1):
-        @pl.when(n_chunks >= back)
-        def _(back=back):
-            dma_w(n_chunks - back,
-                  jax.lax.rem(n_chunks - back, WRING)).wait()
+        # drain outstanding gradient writes before the next instance reads
+        # its boundary chunk
+        for back in range(WRING, 0, -1):
+            @pl.when(n_chunks >= back)
+            def _(back=back):
+                dma_w(n_chunks - back,
+                      jax.lax.rem(n_chunks - back, WRING)).wait()
 
 
 def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
@@ -727,6 +794,7 @@ def pallas_composite_fwd(records: jnp.ndarray, starts: jnp.ndarray,
         scratch += [
             pltpu.VMEM((WRING, NPIX, KB), jnp.float32),  # wbuf (Texcl ring)
             pltpu.SemaphoreType.DMA((WRING,)),
+            pltpu.SMEM((WRING + 1,), jnp.int32),  # wpend (lazy-ring state)
         ]
         out_specs = [out_specs, pl.BlockSpec(memory_space=pl.ANY)]
         out_shape = [out_shape,
@@ -794,6 +862,8 @@ def pallas_composite_bwd(records, starts, counts, nx: int, ny: int, out,
     if stored:
         scratch.append(pltpu.SemaphoreType.DMA((RING + 2,)))  # sem2 (texcl)
     scratch.append(pltpu.SemaphoreType.DMA((WRING,)))  # gsem (writes)
+    if aligned:
+        scratch.append(pltpu.SMEM((WRING + 1,), jnp.int32))  # gpend (lazy)
     operands = [starts, counts, jnp.asarray([nx], jnp.int32), records]
     if stored:
         operands.append(texcl)
