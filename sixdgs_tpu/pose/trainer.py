@@ -197,10 +197,15 @@ class PoseTrainer:
                 jax.device_get(feat_fn(jnp.asarray(img), jnp.asarray(mask)))
                 for img, mask in self._img_cache
             ]
+            # kept ON DEVICE and gathered with jnp.take in _sample_batch:
+            # host-side fancy-indexing re-uploaded ~30 MB/iteration through
+            # the tunnel, which both throttled the step and leaked host RAM
+            # in the axon transfer path (a 1500-iter two-backbone run was
+            # OOM-killed at 130 GB RSS, 2026-08-19)
             self._feat_cache = (
-                np.stack([f[0] for f in feats]),
-                np.stack([f[1] for f in feats]),
-                np.stack([f[2] for f in feats]),
+                jnp.asarray(np.stack([f[0] for f in feats])),
+                jnp.asarray(np.stack([f[1] for f in feats])),
+                jnp.asarray(np.stack([f[2] for f in feats])),
             )
 
     def _regen_rays(self):
@@ -215,10 +220,11 @@ class PoseTrainer:
         c2ws = np.stack([self.train_cam_infos[i].c2w() for i in idx])
         if self.cache_features:
             fp, pm, fm = self._feat_cache
+            idx_d = jnp.asarray(idx, jnp.int32)  # only idx+c2w cross the wire
             return FeatureBatch(
-                feats_pe=jnp.asarray(fp[idx]),
-                patch_mask=jnp.asarray(pm[idx]),
-                fmap=jnp.asarray(fm[idx]),
+                feats_pe=jnp.take(fp, idx_d, axis=0),
+                patch_mask=jnp.take(pm, idx_d, axis=0),
+                fmap=jnp.take(fm, idx_d, axis=0),
                 c2w=jnp.asarray(c2ws),
             )
         imgs = np.stack([self._img_cache[i][0] for i in idx])
