@@ -223,7 +223,13 @@ class TestPallasHardware:
             lambda p: rasterize_pallas(p, W, H, bg, t_max=16))(proj))
         img_it = np.asarray(rasterize_pallas(proj, W, H, bg, t_max=16,
                                              interpret=True))
-        np.testing.assert_allclose(img_hw, img_it, atol=1e-4)
+        # atol 2e-3, not 1e-4: on 6+-chunk transparent segments the VPU's
+        # log/exp round differently from the host's (the log-domain scan
+        # accumulates ~1 ulp per contributing pair), a deterministic ~7e-4
+        # max abs drift vs the interpreter. Verified NOT a round-5 kernel
+        # regression: the round-4 snapshot (1e676dd) reproduces the
+        # identical 0.00071174 max diff on chip (2026-08-20 bisect).
+        np.testing.assert_allclose(img_hw, img_it, atol=2e-3)
 
         tgt = jnp.asarray(np.random.default_rng(9).uniform(
             size=(3, H, W)).astype(np.float32))
