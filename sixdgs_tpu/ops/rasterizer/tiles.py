@@ -292,6 +292,11 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         jnp.where(giant_ok, jnp.maximum(area[giant_idx] - t_max_big, 0), 0)
     )
     overflow_spill = jnp.sum(((area > t_max) & ~in_tier).astype(jnp.int32))
+    # how many gaussians would need an overflow tier if t_max halved —
+    # the trainer's NARROWING signal (the main slot block P*t_max dominates
+    # the key-slot count at trained-scene scale, and every per-slot glue
+    # stage — fused keys, u32 sort, segment starts — scales with it)
+    narrow_demand = jnp.sum((area > (t_max // 2)).astype(jnp.int32))
     # emitted pair count BEFORE conic culling (an upper bound on the
     # rasterizer's real emission — the cull drops 30-40% more; keeping the
     # bound here avoids materializing the [P, budget] slot grids a second
@@ -309,6 +314,7 @@ def binning_saturation(means2d, radii_f, vis, nx: int, ny: int, tile: int,
         "dropped_mid": dropped_mid,
         "dropped_big": dropped_big,
         "overflow_spill": overflow_spill,
+        "narrow_demand": narrow_demand,
         "total_area": jnp.sum(area),
         "real_pairs": real_pairs,
     }

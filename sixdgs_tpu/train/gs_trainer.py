@@ -120,6 +120,34 @@ def widen_tiers(tiers, dropped_main, dropped_mid, dropped_big):
     return None
 
 
+def narrow_tiers(tiers, narrow_demand, n_points):
+    """Halve the main-tier slot budget when the scene no longer needs it.
+
+    `narrow_demand` is the binning telemetry's count of visible gaussians
+    whose tile footprint exceeds t_max // 2 — i.e. everything that would
+    need an overflow tier after halving. Narrowing is safe (provably no new
+    main-tier truncation) when all of them fit in the mid+giant tables; the
+    0.31 occupancy bar mirrors the nc_pairs shrink hysteresis so a halving
+    and the widening trigger (tier spill / truncation > threshold) cannot
+    ping-pong. The key-slot count P*t_max + mid_k*t_max_mid + ov_k*t_max_big
+    is dominated by the main block at trained-scene scale (131k x 16 = 2.1M
+    of 2.62M at the Mip-360 bench), and the u32 key sort / fused-key build /
+    segment starts are ~linear in it — each halving is worth ~1.5-3 ms/step.
+    Returns the narrowed 5-tuple, or None if narrowing is not worthwhile.
+    """
+    t_max, mid_k, t_max_mid, ov_k, t_big = tiers
+    new_t = t_max // 2
+    if new_t < 4:
+        return None  # floor: keep tiny footprints out of the tier tables
+    if new_t > t_max_mid:
+        return None  # displaced gaussians would out-size the mid budget
+    if n_points * new_t < (1 << 18):
+        return None  # saved slots would not pay for the retrace
+    if narrow_demand >= 0.31 * (mid_k + ov_k):
+        return None
+    return (new_t, mid_k, t_max_mid, ov_k, t_big)
+
+
 def _render_params(params, active, cam: CameraArrays, width, height, sh_degree,
                    bg, means2d_offset, chunk, rasterizer: str = "auto",
                    tiers: tuple = DEFAULT_TIERS, nc_pairs: int = 0,
@@ -558,6 +586,18 @@ class GSTrainer:
                         print(f"[{it}] binning truncation {ratio:.1%} > "
                               f"{adapt_drop_threshold:.0%}: widening tiers "
                               f"{tiers} -> {new_tiers}")
+                        tiers = new_tiers
+                elif "binning_narrow_demand" in metrics:
+                    # nothing truncating: try the other direction — halve the
+                    # main slot budget when everything that would overflow it
+                    # fits comfortably in the tier tables (see narrow_tiers)
+                    demand = int(jax.device_get(
+                        metrics["binning_narrow_demand"]))
+                    new_tiers = narrow_tiers(
+                        tiers, demand, int(self.state.scene.capacity))
+                    if new_tiers is not None:
+                        print(f"[{it}] main-tier demand {demand} fits tiers: "
+                              f"narrowing t_max {tiers} -> {new_tiers}")
                         tiers = new_tiers
             # SAVE BEFORE the densify/opacity-reset block, like the reference
             # (train.py:148-150 precedes :153-179) — otherwise a save

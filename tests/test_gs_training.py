@@ -252,6 +252,43 @@ class TestAdaptiveTiers:
         # a tier with zero drop is never the target
         assert widen_tiers(base, 0.0, 0.0, 0.0) is None
 
+    def test_narrow_tiers_halves_main_when_safe(self):
+        """t_max narrowing: halve the main slot budget only when everything
+        that would then overflow fits in the tier tables (0.31 occupancy
+        hysteresis, mirroring the nc_pairs shrink), the saved slots pay for
+        the retrace, and the displaced footprints fit the mid budget."""
+        from sixdgs_tpu.train.gs_trainer import narrow_tiers
+
+        base = (16, 4096, 64, 256, 1024)
+        # 131k gaussians, few large footprints -> narrow
+        assert narrow_tiers(base, 100, 131072) == (8, 4096, 64, 256, 1024)
+        # demand at/above 31% of mid+giant capacity -> keep
+        assert narrow_tiers(base, int(0.31 * (4096 + 256)) + 1, 131072) is None
+        # too few points: the halving would not pay for the recompile
+        assert narrow_tiers(base, 100, 6000) is None
+        # floor: never below t_max = 4
+        assert narrow_tiers((4, 4096, 64, 256, 1024), 0, 1 << 20) is None
+        # displaced gaussians must fit the mid budget (t_max//2 <= t_max_mid)
+        assert narrow_tiers((128, 4096, 32, 256, 1024), 0, 1 << 20) is None
+        # exactly at the slot-savings gate boundary
+        assert narrow_tiers(base, 0, (1 << 18) // 8) == (
+            8, 4096, 64, 256, 1024)
+
+    def test_binning_saturation_narrow_demand(self):
+        """narrow_demand counts visible gaussians whose footprint exceeds
+        t_max // 2 — the trainer's main-tier narrowing signal."""
+        import jax.numpy as jnp
+        from sixdgs_tpu.ops.rasterizer.tiles import binning_saturation
+
+        # 3 gaussians on a 8x8-tile screen (tile=16 px): radii give rect
+        # areas ~1 (stays), ~9 (> t_max//2 = 4), and one invisible giant
+        means2d = jnp.asarray([[64.0, 64.0], [64.0, 64.0], [64.0, 64.0]])
+        radii = jnp.asarray([1.0, 20.0, 120.0])
+        vis = jnp.asarray([True, True, False])
+        sat = binning_saturation(means2d, radii, vis, 8, 8, 16, t_max=8,
+                                 overflow_k=2, mid_k=2)
+        assert int(sat["narrow_demand"]) == 1
+
 
 class TestAdaptiveNcPairs:
     def test_saturated_compact_budget_widens(self, synthetic_dataset, capsys,
