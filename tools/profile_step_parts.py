@@ -126,6 +126,23 @@ def main():
           f"{chained_ms(adam_step, (params, adam, jnp.float32(0))):7.2f} ms",
           flush=True)
 
+    # ---------------- Adam on 2-D flattened leaves (layout hypothesis:
+    # [P, 15, 3]-shaped leaves may carry minor-dim tile padding that
+    # inflates pure-elementwise traffic; [P, 45] cannot)
+    params2 = {k: v.reshape(P, -1) for k, v in params.items()}
+    adam2 = adam_init(params2)
+    grads2 = {k: v * 1e-4 for k, v in params2.items()}
+
+    @jax.jit
+    def adam_step2(c):
+        params, adam, acc = c
+        new_p, new_a = adam_update(params, grads2, adam, lrs)
+        return (new_p, new_a, acc + new_p["xyz"][0, 0] * 0)
+
+    print(f"adam update (2-D leaves): "
+          f"{chained_ms(adam_step2, (params2, adam2, jnp.float32(0))):7.2f}"
+          " ms", flush=True)
+
     # ---------------- binning_saturation telemetry (per-step cost)
     means2d = jax.lax.stop_gradient(proj.means2d)
     radii_f = proj.radii.astype(jnp.float32)
